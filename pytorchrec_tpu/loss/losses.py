@@ -1,0 +1,68 @@
+"""Loss functions as pure jnp functions.
+
+Capability parity with the reference loss layer (loss/BPRLoss.py:9-23,
+loss/Top1Loss.py:8-22, loss/losses.py:8-21) plus BCE for CTR models. All
+losses take ``(prediction, target)`` and a reduction, and are jit/grad
+friendly (no shape asserts inside traced code; shapes are validated at trace
+time since they are static under XLA).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from pytorchrec_tpu.utils.registry import Registry
+
+
+def _reduce(values: jnp.ndarray, reduction: str) -> jnp.ndarray:
+    if reduction == "mean":
+        return jnp.mean(values)
+    if reduction == "sum":
+        return jnp.sum(values)
+    return values
+
+
+def bpr_loss(prediction: jnp.ndarray, target=None, reduction: str = "mean") -> jnp.ndarray:
+    """Pairwise BPR: ``softplus(neg - pos)`` on ``[B, 2]`` input.
+
+    Numerically identical to the reference's stabilized ``softplus(-(pos-neg))``
+    (loss/BPRLoss.py:17-21). ``target`` is ignored (pair layout is positional).
+    """
+    assert prediction.ndim == 2 and prediction.shape[1] == 2, prediction.shape
+    pos, neg = prediction[:, 0], prediction[:, 1]
+    return _reduce(jax.nn.softplus(neg - pos), reduction)
+
+
+def top1_loss(prediction: jnp.ndarray, target=None, reduction: str = "mean") -> jnp.ndarray:
+    """TOP1: ``sigmoid(neg - pos) + sigmoid(neg^2)`` on ``[B, 2]`` input
+    (loss/Top1Loss.py:16-20)."""
+    assert prediction.ndim == 2 and prediction.shape[1] == 2, prediction.shape
+    pos, neg = prediction[:, 0], prediction[:, 1]
+    return _reduce(jax.nn.sigmoid(neg - pos) + jax.nn.sigmoid(neg * neg), reduction)
+
+
+def mse_loss(prediction: jnp.ndarray, target: jnp.ndarray, reduction: str = "mean") -> jnp.ndarray:
+    return _reduce(jnp.square(prediction - target), reduction)
+
+
+def bce_loss(prediction: jnp.ndarray, target: jnp.ndarray, reduction: str = "mean") -> jnp.ndarray:
+    """Binary cross entropy on logits (stable log-sigmoid form)."""
+    log_p = jax.nn.log_sigmoid(prediction)
+    log_not_p = jax.nn.log_sigmoid(-prediction)
+    return _reduce(-(target * log_p + (1.0 - target) * log_not_p), reduction)
+
+
+LOSSES: Registry[Callable] = Registry("loss")
+LOSSES.register("bpr", bpr_loss)
+LOSSES.register("top1", top1_loss)
+LOSSES.register("mse", mse_loss)
+LOSSES.register("bce", bce_loss)
+
+loss_name_list = list(LOSSES.names())
+
+
+def get_loss(loss_name: str) -> Callable:
+    return LOSSES.get(loss_name)

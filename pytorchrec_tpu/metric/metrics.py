@@ -1,0 +1,181 @@
+"""Ranking / CTR metrics, computed on device.
+
+Capability parity with the reference metric layer (metric/IMetric.py:17-35,
+NDCG.py:21-24, Hit.py:20-23, MetricList.py:13-15, metrics.py:6-17) plus AUC and
+logloss for CTR parity targets.
+
+TPU-first rank computation: the reference argsorts each ``[user, 1+N]``
+candidate row and locates column 0 (IMetric.py:17-26). On TPU, a full argsort
+per row is wasted work — with one positive per row, its rank is
+``1 + #{j>0 : score_j > score_0}``, an O(N) vectorized comparison that also
+reproduces numpy argsort's tie behavior exactly (stable sort on ``-scores``
+places the positive, index 0, before any tied negative).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def pos_rank_from_scores(prediction, user_sample_n: int):
+    """``[rows]`` or ``[users, user_sample_n]`` scores -> 1-based rank of col 0."""
+    scores = jnp.asarray(prediction).reshape(-1, user_sample_n)
+    pos = scores[:, :1]
+    return 1 + jnp.sum(scores[:, 1:] > pos, axis=1)
+
+
+class Metric:
+    """Base metric. ``fast_calc`` consumes precomputed positive ranks."""
+
+    name = "metric"
+
+    def __init__(self, user_sample_n: int):
+        self.user_sample_n = int(user_sample_n)
+
+    # rank-based metrics implement fast_calc; pointwise ones override __call__
+    def fast_calc(self, pos_ranks):
+        raise NotImplementedError
+
+    def __call__(self, prediction, target=None):
+        return float(self.fast_calc(pos_rank_from_scores(prediction, self.user_sample_n)))
+
+
+class NDCG(Metric):
+    """NDCG@k under the 1-positive-first layout (reference NDCG.py:21-24)."""
+
+    def __init__(self, user_sample_n: int, k: int):
+        super().__init__(user_sample_n)
+        self.k = int(k)
+        self.name = f"ndcg@{self.k}"
+
+    def fast_calc(self, pos_ranks):
+        pos_ranks = jnp.asarray(pos_ranks)
+        gains = jnp.where(pos_ranks <= self.k, 1.0 / jnp.log2(pos_ranks + 1.0), 0.0)
+        return jnp.mean(gains)
+
+
+class Hit(Metric):
+    """Hit@k (reference Hit.py:20-23)."""
+
+    def __init__(self, user_sample_n: int, k: int):
+        super().__init__(user_sample_n)
+        self.k = int(k)
+        self.name = f"hit@{self.k}"
+
+    def fast_calc(self, pos_ranks):
+        pos_ranks = jnp.asarray(pos_ranks)
+        return jnp.mean((pos_ranks <= self.k).astype(jnp.float32))
+
+
+class AUC(Metric):
+    """Pointwise ROC-AUC over (sigmoid(prediction), target) pairs.
+
+    No reference counterpart (stated per SURVEY §2.7); required for the CTR
+    parity targets in BASELINE.md. Tie-aware rank formulation.
+    """
+
+    name = "auc"
+
+    def __init__(self, user_sample_n: int = 1):
+        super().__init__(user_sample_n)
+
+    def fast_calc(self, pos_ranks):  # pragma: no cover - not rank based
+        raise NotImplementedError("AUC is computed from (prediction, target)")
+
+    def __call__(self, prediction, target):
+        scores = np.asarray(prediction).reshape(-1)
+        labels = np.asarray(target).reshape(-1)
+        order = np.argsort(scores, kind="mergesort")
+        sorted_scores = scores[order]
+        # average ranks over ties
+        ranks = np.empty_like(sorted_scores, dtype=np.float64)
+        i = 0
+        n = len(sorted_scores)
+        while i < n:
+            j = i
+            while j + 1 < n and sorted_scores[j + 1] == sorted_scores[i]:
+                j += 1
+            ranks[i : j + 1] = 0.5 * (i + j) + 1.0
+            i = j + 1
+        pos_mask = labels[order] > 0.5
+        n_pos = int(pos_mask.sum())
+        n_neg = n - n_pos
+        if n_pos == 0 or n_neg == 0:
+            return 0.5
+        return float((ranks[pos_mask].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
+
+
+class LogLoss(Metric):
+    """Pointwise binary logloss on logits."""
+
+    name = "logloss"
+
+    def __init__(self, user_sample_n: int = 1):
+        super().__init__(user_sample_n)
+
+    def fast_calc(self, pos_ranks):  # pragma: no cover - not rank based
+        raise NotImplementedError("LogLoss is computed from (prediction, target)")
+
+    def __call__(self, prediction, target):
+        logits = jnp.asarray(prediction).reshape(-1)
+        labels = jnp.asarray(target).reshape(-1)
+        import jax
+
+        loss = -(labels * jax.nn.log_sigmoid(logits) + (1 - labels) * jax.nn.log_sigmoid(-logits))
+        return float(jnp.mean(loss))
+
+
+RANK_METRICS = {"ndcg": NDCG, "hit": Hit}
+POINTWISE_METRICS = {"auc": AUC, "logloss": LogLoss}
+
+
+def get_metric(metric_name: str, user_sample_n: int = 100) -> Metric:
+    """Parse ``"ndcg@10"`` / ``"hit@5"`` / ``"auc"`` / ``"logloss"``.
+
+    The reference hardcodes ``user_sample_n=99`` (metrics.py:13-14) even though
+    eval rows hold 1 positive + 99 negatives = 100 candidates; here the
+    candidate-row width is explicit and defaults to 100.
+    """
+    name = metric_name.strip().lower()
+    if "@" in name:
+        cls_name, k = name.split("@")
+        if cls_name not in RANK_METRICS:
+            raise ValueError(f"unknown metric {metric_name!r}")
+        return RANK_METRICS[cls_name](user_sample_n, int(k))
+    if name in POINTWISE_METRICS:
+        return POINTWISE_METRICS[name](user_sample_n)
+    raise ValueError(f"unknown metric {metric_name!r}")
+
+
+class MetricList:
+    """Computes positive ranks once and fans out (reference MetricList.py:13-15),
+    with pointwise metrics (AUC/logloss) handled separately."""
+
+    def __init__(self, metrics: Sequence[Union[Metric, str]], user_sample_n: int = 100):
+        self.metrics: List[Metric] = [
+            get_metric(m, user_sample_n) if isinstance(m, str) else m for m in metrics
+        ]
+        rank_metrics = [m for m in self.metrics if type(m) in RANK_METRICS.values()]
+        if rank_metrics:
+            self.user_sample_n = rank_metrics[0].user_sample_n
+            for metric in rank_metrics:
+                assert metric.user_sample_n == self.user_sample_n, (
+                    "all rank metrics must share user_sample_n"
+                )
+        else:
+            self.user_sample_n = user_sample_n
+
+    def __call__(self, prediction, target=None) -> Dict[str, float]:
+        logs: Dict[str, float] = {}
+        pos_ranks = None
+        for metric in self.metrics:
+            if type(metric) in POINTWISE_METRICS.values():
+                logs[metric.name] = float(metric(prediction, target))
+            else:
+                if pos_ranks is None:
+                    pos_ranks = pos_rank_from_scores(prediction, self.user_sample_n)
+                logs[metric.name] = float(metric.fast_calc(pos_ranks))
+        return logs

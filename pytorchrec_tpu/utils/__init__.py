@@ -1,0 +1,13 @@
+from pytorchrec_tpu.utils.argument import ArgumentDescription, WithArguments
+from pytorchrec_tpu.utils.registry import Registry
+from pytorchrec_tpu.utils.rng import KeyStream, make_rngs
+from pytorchrec_tpu.utils.timer import Timer
+
+__all__ = [
+    "ArgumentDescription",
+    "WithArguments",
+    "Registry",
+    "KeyStream",
+    "make_rngs",
+    "Timer",
+]
