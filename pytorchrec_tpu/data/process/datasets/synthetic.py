@@ -81,15 +81,18 @@ def generate_synthetic_ml(
     df[C.LABEL] = (df[C.RATE] >= positive_rate_threshold).astype(np.int64)
     df = df.sort_values(by=[C.UID, C.TIME], kind="stable").reset_index(drop=True)
     base_columns = [C.UID, C.IID, C.RATE, C.LABEL, C.TIME]
+    # canonical format stores integer columns as int32 (the reference pipeline
+    # asserts this, e.g. rl_next_item_sample.py:55)
+    df = df.astype({c: np.int32 for c in base_columns})
 
     # one small categorical item feature; iid row i-1 corresponds to item i
     item_df = pd.DataFrame({
-        C.IID: np.arange(1, n_items + 1, dtype=np.int64),
-        "i_c_genre": rng.integers(0, 8, size=n_items).astype(np.int64),
+        C.IID: np.arange(1, n_items + 1, dtype=np.int32),
+        "i_c_genre": rng.integers(0, 8, size=n_items).astype(np.int32),
     })
     user_df = pd.DataFrame({
-        C.UID: np.arange(1, n_users + 1, dtype=np.int64),
-        "u_c_group": rng.integers(0, 4, size=n_users).astype(np.int64),
+        C.UID: np.arange(1, n_users + 1, dtype=np.int32),
+        "u_c_group": rng.integers(0, 4, size=n_users).astype(np.int32),
     })
 
     out_dir = _write_feathers(dataset_name, df, base_columns, item_df, user_df)
