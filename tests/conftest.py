@@ -7,7 +7,6 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
@@ -15,6 +14,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # persistent compilation cache: repeated test runs skip XLA recompiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+# The hosted TPU plugin ignores the JAX_PLATFORMS env var; the config update
+# is authoritative. Must happen before any computation runs.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import tempfile
 
