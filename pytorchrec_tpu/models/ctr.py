@@ -1,0 +1,163 @@
+"""CTR model family: LR, FM, DeepFM, DCN-v2.
+
+No reference-model counterpart in the zoo (the reference covers MF/NCF/seq/RL
+only); these are required configs per BASELINE.json ("LR+FM on MovieLens-100K",
+"DeepFM on Criteo", "DCN-v2 on full Criteo"). They share one field-embedding
+contract:
+
+* ``sparse_columns``: categorical fields, each embedded to ``emb_size``;
+* ``dense_columns``: numeric fields; each gets a learned factor vector scaled
+  by the (normalized) value, so FM-style interactions cover dense x sparse;
+* fields arriving ``[B]`` are broadcast against candidate fields ``[B, N]``
+  (leave-k-out ranking layout, positive first), so every model serves both the
+  point-wise CTR task and the ranking task.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pytorchrec_tpu.feature_column import CategoricalColumnWithIdentity, NumericColumn
+from pytorchrec_tpu.models.base import Batch, Prediction, RecModel, label_target, one_hot_first_target
+from pytorchrec_tpu.ops import MLP, Embedding
+from pytorchrec_tpu.ops.embedding import normal_init
+from pytorchrec_tpu.ops.interactions import CrossNetworkV2, fm_interaction
+
+
+def _gather_fields(batch: Batch, sparse_columns, dense_columns) -> Tuple[list, list, bool]:
+    """Pull field arrays; broadcast [B] fields to [B, N] when any field is 2-D.
+
+    Returns (sparse_ids, dense_values, candidate_mode).
+    """
+    sparse = [c.get_feature_data(batch) for c in sparse_columns]
+    dense = [c.get_feature_data(batch) for c in dense_columns]
+    ndims = [a.ndim for a in sparse + dense if a is not None]
+    candidate_mode = any(n == 2 for n in ndims)
+    if candidate_mode:
+        shape2 = next(a.shape for a in sparse + dense if a is not None and a.ndim == 2)
+        sparse = [jnp.broadcast_to(a[:, None], shape2) if a.ndim == 1 else a for a in sparse]
+        dense = [jnp.broadcast_to(a[:, None], shape2) if a.ndim == 1 else a for a in dense]
+    return sparse, dense, candidate_mode
+
+
+class _CTRBase(RecModel):
+    sparse_columns: Sequence[CategoricalColumnWithIdentity] = ()
+    dense_columns: Sequence[NumericColumn] = ()
+    label_column: CategoricalColumnWithIdentity = None
+    emb_size: int = 16
+
+    def _build_embeddings(self):
+        self.field_embeddings = [
+            Embedding(c.category_num, self.emb_size, name=f"emb_{c.feature_name}")
+            for c in self.sparse_columns
+        ]
+        self.first_order = [
+            Embedding(c.category_num, 1, name=f"lin_{c.feature_name}")
+            for c in self.sparse_columns
+        ]
+        if self.dense_columns:
+            # one factor vector per dense field, scaled by the value
+            self.dense_factors = self.param(
+                "dense_factors", normal_init, (len(self.dense_columns), self.emb_size)
+            )
+            self.dense_linear = self.param(
+                "dense_linear", normal_init, (len(self.dense_columns),)
+            )
+        self.global_bias = self.param("bias", nn.initializers.zeros, ())
+
+    def _field_vectors(self, sparse, dense) -> jnp.ndarray:
+        """Embed all fields -> [..., F, E] (sparse then dense fields)."""
+        vectors = [emb(ids) for emb, ids in zip(self.field_embeddings, sparse)]
+        for i, values in enumerate(dense):
+            vectors.append(values[..., None] * self.dense_factors[i])
+        return jnp.stack(vectors, axis=-2)
+
+    def _linear_term(self, sparse, dense) -> jnp.ndarray:
+        total = self.global_bias
+        for emb, ids in zip(self.first_order, sparse):
+            total = total + emb(ids)[..., 0]
+        for i, values in enumerate(dense):
+            total = total + values * self.dense_linear[i]
+        return total
+
+    def _finish(self, prediction: jnp.ndarray, candidate_mode: bool, batch: Batch) -> Prediction:
+        if candidate_mode:
+            return prediction, one_hot_first_target(prediction)
+        return prediction, label_target(self.label_column, batch)
+
+
+class LR(_CTRBase):
+    """Logistic regression: first-order terms only (logit output)."""
+
+    def setup(self):
+        self._build_embeddings()
+
+    def __call__(self, batch: Batch, train: bool = False) -> Prediction:
+        sparse, dense, candidate_mode = _gather_fields(batch, self.sparse_columns, self.dense_columns)
+        prediction = self._linear_term(sparse, dense)
+        return self._finish(prediction, candidate_mode, batch)
+
+
+class FM(_CTRBase):
+    """Factorization machine: first-order + pairwise second-order terms."""
+
+    def setup(self):
+        self._build_embeddings()
+
+    def __call__(self, batch: Batch, train: bool = False) -> Prediction:
+        sparse, dense, candidate_mode = _gather_fields(batch, self.sparse_columns, self.dense_columns)
+        vectors = self._field_vectors(sparse, dense)
+        prediction = self._linear_term(sparse, dense) + fm_interaction(vectors)
+        return self._finish(prediction, candidate_mode, batch)
+
+
+class DeepFM(_CTRBase):
+    """FM + deep MLP tower on the concatenated field embeddings (shared
+    embeddings between the FM and deep parts, as in the original paper)."""
+
+    layers: Sequence[int] = (256, 128)
+    dropout: float = 0.0
+
+    def setup(self):
+        self._build_embeddings()
+        self.deep = MLP(tuple(self.layers), activation="relu", dropout=self.dropout)
+        self.deep_head = nn.Dense(1, use_bias=False, kernel_init=normal_init)
+
+    def __call__(self, batch: Batch, train: bool = False) -> Prediction:
+        sparse, dense, candidate_mode = _gather_fields(batch, self.sparse_columns, self.dense_columns)
+        vectors = self._field_vectors(sparse, dense)  # [..., F, E]
+        fm_term = self._linear_term(sparse, dense) + fm_interaction(vectors)
+        flat = vectors.reshape(*vectors.shape[:-2], -1)  # [..., F*E]
+        deep_term = self.deep_head(self.deep(flat, train=train))[..., 0]
+        prediction = fm_term + deep_term
+        return self._finish(prediction, candidate_mode, batch)
+
+
+class DCNv2(_CTRBase):
+    """DCN-v2: cross network + deep network in parallel over
+    [field embeddings ++ dense values], fused linear head."""
+
+    num_cross_layers: int = 3
+    layers: Sequence[int] = (256, 128)
+    dropout: float = 0.0
+
+    def setup(self):
+        self._build_embeddings()
+        self.cross = CrossNetworkV2(num_layers=self.num_cross_layers)
+        self.deep = MLP(tuple(self.layers), activation="relu", dropout=self.dropout)
+        self.head = nn.Dense(1, use_bias=True, kernel_init=normal_init, bias_init=normal_init)
+
+    def __call__(self, batch: Batch, train: bool = False) -> Prediction:
+        sparse, dense, candidate_mode = _gather_fields(batch, self.sparse_columns, self.dense_columns)
+        vectors = [emb(ids) for emb, ids in zip(self.field_embeddings, sparse)]
+        x0_parts = [v for v in vectors]
+        if dense:
+            x0_parts.append(jnp.stack(dense, axis=-1))
+        x0 = jnp.concatenate(x0_parts, axis=-1)
+        cross_out = self.cross(x0)
+        deep_out = self.deep(x0, train=train)
+        prediction = self.head(jnp.concatenate([cross_out, deep_out], axis=-1))[..., 0]
+        return self._finish(prediction, candidate_mode, batch)

@@ -1,0 +1,248 @@
+"""Value-based RL ranking family: DQN, DEERS, LSRL and the LSRL ablations.
+
+Capability parity with reference model/IValueRLModel.py:31-88 (IQNet with
+``forward`` / ``next_forward``), model/DQN.py:12-109, model/DEERS.py:13-160,
+model/LSRL.py:16-186 and model/LSRL_{L,PS,LPS,PSNS}.py.
+
+TPU-first re-design:
+
+* the twin eval/target networks are ONE flax module with two parameter trees;
+  the RL trainer keeps ``target_params`` in the train state and swaps
+  ``target := params`` every ``update_freq`` steps (the reference deep-copies
+  state dicts, IValueRLModel.py:71-72);
+* the Bellman target is computed under ``stop_gradient`` (the reference's
+  ``torch.no_grad`` block, DQN.py:97-100);
+* GRU state encoders use the masked-scan GRU — no sort/pack/unsort.
+
+Known divergence, by design: the reference DEERS/LSRL forward mixes the
+*sorted* GRU hidden state with *unsorted* item vectors before the per-stream
+MLP and only unsorts afterwards (DEERS.py:73-81), silently mis-pairing rows
+whenever the length sort permutes the batch. The masked GRU never permutes
+rows, so this bug is fixed rather than reproduced.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pytorchrec_tpu.feature_column import CategoricalColumnWithIdentity
+from pytorchrec_tpu.models.base import Batch
+from pytorchrec_tpu.ops import Embedding, MaskedGRU
+from pytorchrec_tpu.ops.embedding import normal_init
+from pytorchrec_tpu.ops.mlp import MLP, Dense
+
+
+class QNet(nn.Module):
+    """Interface: Q(s, a) over current state and over next state / candidates."""
+
+    def forward(self, batch: Batch, train: bool = False) -> jnp.ndarray:  # pragma: no cover
+        raise NotImplementedError
+
+    def next_forward(self, batch: Batch, train: bool = False) -> jnp.ndarray:  # pragma: no cover
+        raise NotImplementedError
+
+    def __call__(self, batch: Batch, train: bool = False) -> jnp.ndarray:
+        # default method so .init() touches every parameter via forward
+        return self.forward(batch, train=train)
+
+
+class DQNQNet(QNet):
+    """GRU state encoder + dot-product Q (reference model/DQN.py:12-93)."""
+
+    iid_column: CategoricalColumnWithIdentity
+    state_column: CategoricalColumnWithIdentity
+    state_len_column: CategoricalColumnWithIdentity
+    next_state_column: CategoricalColumnWithIdentity
+    next_state_len_column: CategoricalColumnWithIdentity
+    rl_sample_column: CategoricalColumnWithIdentity
+    emb_size: int = 64
+    hidden_size: int = 64
+
+    def setup(self):
+        self.i_embedding = Embedding(self.iid_column.category_num, self.emb_size)
+        self.rnn = MaskedGRU(hidden_size=self.hidden_size)
+        self.out = nn.Dense(self.emb_size, kernel_init=normal_init, bias_init=normal_init)
+
+    def _encode(self, state_ids, state_len):
+        state_vectors = self.i_embedding(state_ids)  # [B, S, E]
+        return self.out(self.rnn(state_vectors, state_len))  # [B, E]
+
+    def forward(self, batch: Batch, train: bool = False) -> jnp.ndarray:
+        i_ids = self.iid_column.get_feature_data(batch)  # [B] or [B, N]
+        state_ids = self.state_column.get_feature_data(batch)
+        state_len = self.state_len_column.get_feature_data(batch)
+        rnn_vector = self._encode(state_ids, state_len)
+        i_vectors = self.i_embedding(i_ids)
+        if i_ids.ndim == 1:
+            return jnp.sum(rnn_vector * i_vectors, axis=-1)  # [B]
+        return jnp.sum(rnn_vector[:, None, :] * i_vectors, axis=-1)  # [B, N]
+
+    def next_forward(self, batch: Batch, train: bool = False) -> jnp.ndarray:
+        next_i_ids = self.rl_sample_column.get_feature_data(batch)  # [B, N]
+        next_state_ids = self.next_state_column.get_feature_data(batch)
+        next_state_len = self.next_state_len_column.get_feature_data(batch)
+        rnn_vector = self._encode(next_state_ids, next_state_len)
+        next_i_vectors = self.i_embedding(next_i_ids)
+        return jnp.sum(rnn_vector[:, None, :] * next_i_vectors, axis=-1)  # [B, N]
+
+
+class BranchQNet(QNet):
+    """Composable long / pos-short / neg-short Q-network.
+
+    One implementation covers DEERSQNet (pos+neg, DEERS.py:13-105), LSRLQNet
+    (long+pos+neg, LSRL.py:16-121), and the four LSRL ablations (branch
+    subsets, LSRL_*.py) — branch toggles select the architecture.
+    """
+
+    iid_column: CategoricalColumnWithIdentity
+    pos_state_column: CategoricalColumnWithIdentity
+    pos_state_len_column: CategoricalColumnWithIdentity
+    pos_next_state_column: CategoricalColumnWithIdentity
+    pos_next_state_len_column: CategoricalColumnWithIdentity
+    rl_sample_column: CategoricalColumnWithIdentity
+    uid_column: Optional[CategoricalColumnWithIdentity] = None
+    neg_state_column: Optional[CategoricalColumnWithIdentity] = None
+    neg_state_len_column: Optional[CategoricalColumnWithIdentity] = None
+    neg_next_state_column: Optional[CategoricalColumnWithIdentity] = None
+    neg_next_state_len_column: Optional[CategoricalColumnWithIdentity] = None
+    use_long: bool = False
+    use_pos: bool = True
+    use_neg: bool = False
+    emb_size: int = 64
+    hidden_size: int = 64
+    dropout: float = 0.2
+
+    def setup(self):
+        self.i_embeddings = Embedding(self.iid_column.category_num, self.emb_size)
+        n_branches = 0
+        if self.use_long:
+            assert self.uid_column is not None
+            self.u_embeddings = Embedding(self.uid_column.category_num, self.emb_size)
+            self.long_mlp = MLP((self.emb_size,) * 3, activation="relu", dropout=self.dropout)
+            n_branches += 1
+        if self.use_pos:
+            self.pos_rnn = MaskedGRU(hidden_size=self.hidden_size)
+            self.pos_mlp = MLP((self.emb_size,) * 3, activation="relu", dropout=self.dropout)
+            n_branches += 1
+        if self.use_neg:
+            self.neg_rnn = MaskedGRU(hidden_size=self.hidden_size)
+            self.neg_mlp = MLP((self.emb_size,) * 3, activation="relu", dropout=self.dropout)
+            n_branches += 1
+        assert n_branches > 0, "at least one branch required"
+        self.fuse = Dense(self.emb_size, activation="relu", dropout=self.dropout)
+        self.prediction = nn.Dense(1, use_bias=False, kernel_init=normal_init)
+
+    def _score(self, batch: Batch, i_ids, pos_cols, neg_cols, train: bool) -> jnp.ndarray:
+        squeeze = i_ids.ndim == 1
+        if squeeze:
+            i_ids = i_ids[:, None]
+        i_vectors = self.i_embeddings(i_ids)  # [B, N, E]
+        sample_n = i_ids.shape[1]
+
+        branches = []
+        if self.use_long:
+            u_ids = self.uid_column.get_feature_data(batch)  # [B]
+            u_vectors = self.u_embeddings(u_ids)[:, None, :]  # [B, 1, E]
+            u_vectors = jnp.broadcast_to(u_vectors, i_vectors.shape)
+            branches.append(self.long_mlp(
+                jnp.concatenate([u_vectors, i_vectors], axis=-1), train=train))
+        if self.use_pos:
+            state_col, len_col = pos_cols
+            state_ids = state_col.get_feature_data(batch)
+            state_len = len_col.get_feature_data(batch)
+            hidden = self.pos_rnn(self.i_embeddings(state_ids), state_len)  # [B, H]
+            hidden = jnp.broadcast_to(hidden[:, None, :], (*i_vectors.shape[:2], hidden.shape[-1]))
+            branches.append(self.pos_mlp(
+                jnp.concatenate([hidden, i_vectors], axis=-1), train=train))
+        if self.use_neg:
+            state_col, len_col = neg_cols
+            state_ids = state_col.get_feature_data(batch)
+            state_len = len_col.get_feature_data(batch)
+            hidden = self.neg_rnn(self.i_embeddings(state_ids), state_len)  # [B, H]
+            hidden = jnp.broadcast_to(hidden[:, None, :], (*i_vectors.shape[:2], hidden.shape[-1]))
+            branches.append(self.neg_mlp(
+                jnp.concatenate([hidden, i_vectors], axis=-1), train=train))
+
+        fused = self.fuse(jnp.concatenate(branches, axis=-1), train=train)
+        prediction = self.prediction(fused)[..., 0]  # [B, N]
+        return prediction[:, 0] if squeeze else prediction
+
+    def forward(self, batch: Batch, train: bool = False) -> jnp.ndarray:
+        i_ids = self.iid_column.get_feature_data(batch)
+        return self._score(
+            batch, i_ids,
+            pos_cols=(self.pos_state_column, self.pos_state_len_column),
+            neg_cols=(self.neg_state_column, self.neg_state_len_column),
+            train=train,
+        )
+
+    def next_forward(self, batch: Batch, train: bool = False) -> jnp.ndarray:
+        next_i_ids = self.rl_sample_column.get_feature_data(batch)  # [B, N]
+        return self._score(
+            batch, next_i_ids,
+            pos_cols=(self.pos_next_state_column, self.pos_next_state_len_column),
+            neg_cols=(self.neg_next_state_column, self.neg_next_state_len_column),
+            train=train,
+        )
+
+
+class ValueRLModel:
+    """DQN-family wrapper: one QNet, two parameter trees, Bellman targets.
+
+    Mirrors reference model/IValueRLModel.py:50-88 + model/DQN.py:96-101 in a
+    functional form the RL trainer can jit:
+    ``prediction = Q(s, a; params)``,
+    ``target = stop_grad(reward + gamma * max_a' Q'(s', a'; target_params))``.
+    """
+
+    def __init__(self, qnet: QNet, reward_column: CategoricalColumnWithIdentity,
+                 gamma: float = 0.9, update_freq: int = 10):
+        self.qnet = qnet
+        self.reward_column = reward_column
+        self.gamma = float(gamma)
+        self.update_freq = int(update_freq)
+
+    def init(self, rng, batch):
+        variables = self.qnet.init(rng, batch, method=self.qnet.forward)
+        return variables
+
+    def apply(self, variables, target_variables, batch, train: bool = False, rngs=None):
+        main_q = self.qnet.apply(variables, batch, train=train, rngs=rngs,
+                                 method=self.qnet.forward)
+        reward = jnp.asarray(self.reward_column.get_feature_data(batch)).astype(jnp.float32)
+        next_q = self.qnet.apply(target_variables, batch, train=False,
+                                 method=self.qnet.next_forward)
+        target_q = jax.lax.stop_gradient(reward + self.gamma * jnp.max(next_q, axis=-1))
+        return main_q, target_q
+
+    def apply_eval(self, variables, batch):
+        """Candidate scoring for dev/test ranking evaluation."""
+        return self.qnet.apply(variables, batch, train=False, method=self.qnet.forward)
+
+
+def make_deers_qnet(**kwargs) -> BranchQNet:
+    return BranchQNet(use_long=False, use_pos=True, use_neg=True, **kwargs)
+
+
+def make_lsrl_qnet(**kwargs) -> BranchQNet:
+    return BranchQNet(use_long=True, use_pos=True, use_neg=True, **kwargs)
+
+
+def make_lsrl_l_qnet(**kwargs) -> BranchQNet:
+    return BranchQNet(use_long=True, use_pos=False, use_neg=False, **kwargs)
+
+
+def make_lsrl_ps_qnet(**kwargs) -> BranchQNet:
+    return BranchQNet(use_long=False, use_pos=True, use_neg=False, **kwargs)
+
+
+def make_lsrl_lps_qnet(**kwargs) -> BranchQNet:
+    return BranchQNet(use_long=True, use_pos=True, use_neg=False, **kwargs)
+
+
+def make_lsrl_psns_qnet(**kwargs) -> BranchQNet:
+    return BranchQNet(use_long=False, use_pos=True, use_neg=True, **kwargs)
