@@ -272,7 +272,11 @@ class DataReader:
         self._pos_key_array = np.sort(np.concatenate(keys)) if keys else np.empty(0, np.int64)
 
         pos = self.splits[TRAIN][C.IID].reshape(-1, 1)
-        self.train_iid_pair_array = np.hstack((pos, np.empty_like(pos)))
+        # neg column starts as a copy of pos (valid ids) so shape-bootstrap
+        # batches fetched before the first train_neg_sample() are in-range;
+        # every training epoch overwrites it (reference leaves it
+        # uninitialized, SimpleDataReader.py:274-277)
+        self.train_iid_pair_array = np.hstack((pos, pos.copy()))
 
     # ------------------------------------------------------------------
     # reference interface (IDataReader.py:12-50)

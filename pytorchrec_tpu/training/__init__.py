@@ -1,0 +1,28 @@
+from pytorchrec_tpu.training.callbacks import (
+    Callback,
+    CallbackList,
+    CSVLogger,
+    EarlyStopping,
+    History,
+    ModelCheckpoint,
+    ProgbarLogger,
+    TerminateOnNaN,
+)
+from pytorchrec_tpu.training.rl_trainer import RLTrainer
+from pytorchrec_tpu.training.state import RLTrainState, TrainState
+from pytorchrec_tpu.training.trainer import Trainer
+
+__all__ = [
+    "Callback",
+    "CallbackList",
+    "History",
+    "ModelCheckpoint",
+    "EarlyStopping",
+    "CSVLogger",
+    "TerminateOnNaN",
+    "ProgbarLogger",
+    "Trainer",
+    "RLTrainer",
+    "TrainState",
+    "RLTrainState",
+]

@@ -1,0 +1,174 @@
+"""Value-RL trainer: twin networks, per-batch "epochs", target sync.
+
+Capability parity with reference model/IValueRLModel.py:95-185 — the RL
+family redefines "epoch" as ONE BATCH: callbacks, dev evaluation and the
+target-network sync all fire per batch inside the data loop
+(IValueRLModel.py:148-182).
+
+TPU-first: the target sync is a pure pytree swap inside the jitted step
+(``target := params`` every ``update_freq`` steps via ``lax.cond``-free
+``jnp.where`` masking is wasteful for whole trees, so the swap happens with a
+cheap conditional in the jitted step using ``jax.lax.cond`` on
+``step % update_freq == 0``) — no host round trip, unlike the reference's
+state-dict deep copy (IValueRLModel.py:71-72).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorchrec_tpu.data.loader import train_batches
+from pytorchrec_tpu.data.readers.base import DataReader
+from pytorchrec_tpu.data.schema import TrainMode
+from pytorchrec_tpu.models.rl import ValueRLModel
+from pytorchrec_tpu.training.callbacks import Callback, CallbackList, History
+from pytorchrec_tpu.training.state import RLTrainState
+from pytorchrec_tpu.training.trainer import Trainer
+
+logger = logging.getLogger(__name__)
+
+
+class RLTrainer(Trainer):
+    """Trainer for ``ValueRLModel`` (DQN / DEERS / LSRL families)."""
+
+    def __init__(self, model: ValueRLModel, mesh=None):
+        super().__init__(model, mesh=mesh)
+
+    def init_state(self, sample_batch, seed: int = 2020) -> RLTrainState:
+        self._assert_compiled()
+        root = jax.random.PRNGKey(seed)
+        init_rng, state_rng = jax.random.split(root)
+        variables = self.model.init({"params": init_rng, "dropout": init_rng}, sample_batch)
+        params = variables["params"]
+        self.state = RLTrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=state_rng,
+            # distinct buffers: donation forbids params/target aliasing
+            target_params=jax.tree_util.tree_map(jnp.copy, params),
+        )
+        return self.state
+
+    def _build_train_step(self):
+        model, loss_fn, tx = self.model, self.loss_fn, self.tx
+        update_freq = model.update_freq
+
+        def train_step(state: RLTrainState, batch):
+            step_rng = jax.random.fold_in(state.rng, state.step)
+
+            def compute_loss(params):
+                prediction, target = model.apply(
+                    {"params": params}, {"params": state.target_params},
+                    batch, train=True, rngs={"dropout": step_rng},
+                )
+                return loss_fn(prediction, target)
+
+            loss, grads = jax.value_and_grad(compute_loss)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+            step = state.step + 1
+            # reference sync cadence: every update_freq batches
+            # (IValueRLModel.py:173-175)
+            target_params = jax.lax.cond(
+                step % update_freq == 0,
+                lambda: params,
+                lambda: state.target_params,
+            )
+            new_state = state.replace(
+                params=params, opt_state=opt_state, step=step,
+                target_params=target_params,
+            )
+            return new_state, loss
+
+        return jax.jit(train_step, donate_argnums=0)
+
+    def _build_eval_step(self):
+        model = self.model
+
+        def eval_step(params, batch):
+            prediction = model.apply_eval({"params": params}, batch)
+            # ranking layout: positive first (reference DQN forward eval path)
+            from pytorchrec_tpu.models.base import one_hot_first_target
+
+            target = one_hot_first_target(prediction) if prediction.ndim == 2 else None
+            return prediction, target
+
+        return jax.jit(eval_step)
+
+    def fit(
+        self,
+        reader: DataReader,
+        batch_size: int,
+        epochs: int,  # = number of BATCHES, reference semantics
+        train_mode: Optional[TrainMode] = None,
+        verbose: int = 1,
+        callbacks: Optional[Union[List[Callback], CallbackList]] = None,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        dev_batch_size: Optional[int] = None,
+        dev_freq: int = 100,
+        seed: int = 2020,
+        eval_dev: bool = True,
+    ) -> History:
+        """Epoch == one batch (reference IValueRLModel.py:148-182): the loop
+        walks the shuffled train stream, re-shuffling (and pairwise
+        re-sampling) whenever it is exhausted, until ``epochs`` batches ran."""
+        self._assert_compiled()
+        if self.state is None:
+            bootstrap = reader.get_batch(
+                "train", np.arange(min(2, reader.get_train_dataset_size()))
+            )
+            self.init_state(bootstrap, seed=seed)
+        train_mode = train_mode or reader.train_mode
+
+        if not isinstance(callbacks, CallbackList):
+            callbacks = CallbackList(
+                callbacks,
+                add_history=True,
+                add_progbar=verbose != 0,
+                trainer=self,
+                verbose=verbose,
+                epochs=epochs,
+                batches=epochs,
+            )
+        self.history = callbacks.history
+
+        shuffle_rng = np.random.default_rng(seed)
+
+        def fresh_stream():
+            if train_mode == TrainMode.PAIR_WISE:
+                reader.train_neg_sample()
+            return train_batches(reader, batch_size, shuffle_rng, shuffle, drop_last)
+
+        self.stop_training = False
+        callbacks.on_train_begin()
+        stream = fresh_stream()
+        for epoch in range(epochs):
+            callbacks.on_epoch_begin(epoch)
+            batch = next(stream, None)
+            if batch is None:
+                stream = fresh_stream()
+                batch = next(stream)
+            loss = self._train_step(batch)
+            epoch_logs: Dict[str, Any] = {"loss": float(loss)}
+            callbacks.on_train_batch_end(epoch, {"loss": float(loss)})
+
+            if eval_dev and (epoch + 1) % dev_freq == 0 and not self.stop_training:
+                dev_logs = self.evaluate(
+                    reader, split="dev",
+                    batch_size=dev_batch_size or batch_size,
+                    verbose=verbose, callbacks=callbacks,
+                )
+                epoch_logs.update(dev_logs)
+
+            callbacks.on_epoch_end(epoch, epoch_logs)
+            if self.stop_training:
+                break
+        callbacks.on_train_end()
+        return self.history
