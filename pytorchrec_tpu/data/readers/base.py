@@ -345,6 +345,12 @@ class DataReader:
         candidates = self._candidate_iids(split)
         if candidates is not None:
             self._join_items(batch, candidates[indices])
+        else:
+            # scalar-iid rows still get their item features (the reference
+            # only joins for candidate lists, SimpleDataReader.py:323-351,
+            # because its zoo has no feature-consuming point-wise model;
+            # CTR models here need the join in every mode)
+            self._join_items(batch, batch[C.IID])
         return batch
 
     def get_train_batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:

@@ -11,7 +11,13 @@ from typing import Sequence
 import jax.numpy as jnp
 
 from pytorchrec_tpu.feature_column import CategoricalColumnWithIdentity
-from pytorchrec_tpu.models.base import Batch, Prediction, RecModel, one_hot_first_target
+from pytorchrec_tpu.models.base import (
+    Batch,
+    Prediction,
+    RecModel,
+    label_target,
+    one_hot_first_target,
+)
 from pytorchrec_tpu.ops import MLP, Embedding
 from pytorchrec_tpu.ops.embedding import normal_init
 
@@ -36,8 +42,11 @@ class NCF(RecModel):
 
     def __call__(self, batch: Batch, train: bool = False) -> Prediction:
         u_ids = self.uid_column.get_feature_data(batch)  # [B]
-        i_ids = self.iid_column.get_feature_data(batch)  # [B, N]
+        i_ids = self.iid_column.get_feature_data(batch)  # [B] or [B, N]
 
+        pointwise = i_ids.ndim == 1
+        if pointwise:
+            i_ids = i_ids[:, None]  # [B, 1]
         u_ids = jnp.broadcast_to(u_ids[:, None], i_ids.shape)  # [B, N]
 
         mf_vector = self.mf_u_embeddings(u_ids) * self.mf_i_embeddings(i_ids)  # [B, N, E]
@@ -49,4 +58,6 @@ class NCF(RecModel):
         output_vector = jnp.concatenate([mf_vector, mlp_vector], axis=-1)
         prediction = self.prediction_head(output_vector)[..., 0]  # [B, N]
 
+        if pointwise:
+            return prediction[:, 0], label_target(self.label_column, batch)
         return prediction, one_hot_first_target(prediction)

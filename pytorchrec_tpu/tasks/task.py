@@ -1,0 +1,179 @@
+"""Task: one experiment = train → select best epoch → test.
+
+Capability parity with reference task/ITask.py:9-21 and task/Task.py:30-272:
+seeds, builds datasets/model, wires ModelCheckpoint + CSVLogger +
+EarlyStopping, fits, restores the best weights, evaluates on test with its
+own CSVLogger, returns ``(best_epoch, best_dev_logs, test_logs)``.
+
+Differences by design: no ``gpu`` integer (JAX owns device placement; an
+optional ``mesh`` shards the run instead), and the task can be built either
+from constructed objects (reference style) or from registry names via
+``Task.from_config`` (the path the CLI uses — the reference's console
+assembly is dead code, Task.py:99-164).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+from pytorchrec_tpu.data.readers.base import DataReader
+from pytorchrec_tpu.data.schema import SplitMode, TrainMode
+from pytorchrec_tpu.training import (
+    CSVLogger,
+    EarlyStopping,
+    ModelCheckpoint,
+    RLTrainer,
+    Trainer,
+)
+from pytorchrec_tpu.models.rl import ValueRLModel
+from pytorchrec_tpu.utils import constants as C
+
+logger = logging.getLogger(__name__)
+
+
+class ITask:
+    """Abstract task (reference ITask.py:9-21)."""
+
+    def run(self):  # pragma: no cover
+        raise NotImplementedError
+
+
+class Task(ITask):
+    def __init__(
+        self,
+        data_reader: DataReader,
+        model: Any,
+        debug: bool = False,
+        random_seed: int = 2020,
+        metrics: Optional[List[str]] = None,
+        train_mode: Optional[TrainMode] = None,
+        epoch: int = 100,
+        batch_size: int = 128,
+        optimizer: str = "adam",
+        lr: float = 1e-3,
+        l2: float = 0.0,
+        loss: str = "bce",
+        dev_freq: int = 1,
+        filename: Optional[str] = None,
+        monitor: Optional[str] = None,
+        monitor_mode: str = "max",
+        patience: int = 10,
+        verbose: int = 1,
+        mesh=None,
+    ):
+        self.debug = debug
+        self.random_seed = random_seed
+        self.metrics = list(metrics or ["ndcg@10"])
+        self.train_mode = train_mode or data_reader.train_mode
+        self.data_reader = data_reader
+        self.model = model
+        self.epoch = epoch
+        self.batch_size = batch_size
+        self.optimizer = optimizer
+        self.lr = lr
+        self.l2 = l2
+        self.loss = loss
+        self.dev_freq = dev_freq
+        self.filename = filename or f"{type(model).__name__}_{data_reader.dataset}_{random_seed}"
+        self.monitor = monitor or self.metrics[0]
+        self.monitor_mode = monitor_mode
+        self.patience = patience
+        self.verbose = verbose
+        self.mesh = mesh
+
+        trainer_cls = RLTrainer if isinstance(model, ValueRLModel) else Trainer
+        self.trainer = trainer_cls(model, mesh=mesh)
+
+    @classmethod
+    def from_config(cls, model_name: str, dataset: str,
+                    reader_kwargs: Optional[Dict[str, Any]] = None,
+                    model_kwargs: Optional[Dict[str, Any]] = None,
+                    **task_kwargs) -> "Task":
+        """Assemble a task from registry names (the working console path)."""
+        from pytorchrec_tpu.tasks.builder import (
+            build_model,
+            build_reader,
+            default_reader_kwargs,
+        )
+
+        reader_kwargs = default_reader_kwargs(model_name, **(reader_kwargs or {}))
+        reader_kwargs.setdefault("random_seed", task_kwargs.get("random_seed", 2020))
+        reader_kwargs.setdefault(
+            "train_mode", task_kwargs.get("train_mode", TrainMode.POINT_WISE)
+        )
+        reader = build_reader(model_name, dataset, **reader_kwargs)
+        model = build_model(model_name, reader, **(model_kwargs or {}))
+        return cls(data_reader=reader, model=model, **task_kwargs)
+
+    def run(self) -> Tuple[int, Dict[str, float], Dict[str, float]]:
+        user_sample_n = 1 + self.data_reader.neg_sample_n \
+            if self.data_reader.split_mode == SplitMode.LEAVE_K_OUT else 1
+        self.trainer.compile(
+            optimizer=self.optimizer,
+            loss=self.loss,
+            metrics=self.metrics,
+            lr=self.lr,
+            weight_decay=self.l2,
+            user_sample_n=user_sample_n,
+        )
+
+        model_checkpoint = ModelCheckpoint(
+            filepath=os.path.join(C.model_dir(), f"{self.filename}.msgpack"),
+            monitor=self.monitor,
+            mode=self.monitor_mode,
+            save_best_only=True,
+        )
+        csv_logger = CSVLogger(os.path.join(C.log_dir(), f"{self.filename}.csv"))
+        early_stopping = EarlyStopping(
+            monitor=self.monitor, mode=self.monitor_mode, patience=self.patience
+        )
+        callbacks = (
+            [early_stopping]
+            if self.debug
+            else [model_checkpoint, csv_logger, early_stopping]
+        )
+
+        history = self.trainer.fit(
+            self.data_reader,
+            batch_size=self.batch_size,
+            epochs=self.epoch,
+            train_mode=self.train_mode,
+            verbose=self.verbose,
+            callbacks=callbacks,
+            shuffle=True,
+            drop_last=True,
+            dev_freq=self.dev_freq,
+            seed=self.random_seed,
+        )
+
+        best_epoch, best_dev_logs = history.get_best_epoch_logs(
+            self.monitor, self.monitor_mode
+        )
+        if self.trainer.best_params is not None:
+            self.trainer.load_best_weights()
+
+        test_callbacks = [] if self.debug else [
+            CSVLogger(os.path.join(C.log_dir(), f"{self.filename}.test.csv"))
+        ]
+        test_cb_list = None
+        if test_callbacks:
+            from pytorchrec_tpu.training import CallbackList
+
+            test_cb_list = CallbackList(test_callbacks, trainer=self.trainer)
+            test_cb_list.on_train_begin()  # open the CSV file
+        test_logs = self.trainer.evaluate(
+            self.data_reader, split="test", batch_size=self.batch_size,
+            verbose=self.verbose, callbacks=test_cb_list,
+        )
+        if test_cb_list is not None:
+            test_cb_list.on_epoch_end(0, test_logs)
+            test_cb_list.set_params({"epochs": 1})
+            test_cb_list.on_train_end()
+
+        logger.info(
+            "task %s: best_epoch=%d dev=%s test=%s",
+            self.filename, best_epoch, best_dev_logs, test_logs,
+        )
+        return best_epoch, best_dev_logs, test_logs
