@@ -1,0 +1,163 @@
+"""Headline benchmark: DCN-v2 training throughput, examples/sec/chip.
+
+The BASELINE.json headline config ("DCN-v2 on Criteo": 13 dense + 26 sparse
+fields). The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
+compares against the reference's own stack re-measured here: an equivalent
+torch DCN-v2 train step (embedding gathers + cross layers + MLP + Adam) on
+this host's CPU — the reference is torch, single-device, CPU-or-GPU
+(task/Task.py:187-190), and this environment has no GPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Criteo-like config
+N_DENSE = 13
+N_SPARSE = 26
+VOCAB = 100_000
+EMB = 16
+BATCH = 8192
+CROSS_LAYERS = 3
+MLP_UNITS = (256, 128)
+
+WARMUP_STEPS = 5
+MEASURE_STEPS = 30
+TORCH_MEASURE_STEPS = 5
+
+
+def make_host_batch(rng: np.random.Generator):
+    batch = {
+        f"c_{i}": rng.integers(0, VOCAB, size=BATCH).astype(np.int32)
+        for i in range(N_SPARSE)
+    }
+    for i in range(N_DENSE):
+        batch[f"d_{i}"] = rng.normal(size=BATCH).astype(np.float32)
+    batch["label"] = rng.integers(0, 2, size=BATCH).astype(np.int32)
+    return batch
+
+
+def bench_tpu() -> float:
+    import jax
+
+    from pytorchrec_tpu.feature_column import (
+        CategoricalColumnWithIdentity,
+        NumericColumn,
+    )
+    from pytorchrec_tpu.models import DCNv2
+    from pytorchrec_tpu.training import Trainer
+
+    sparse = [
+        CategoricalColumnWithIdentity(feature_name=f"c_{i}", category_num=VOCAB)
+        for i in range(N_SPARSE)
+    ]
+    dense = [NumericColumn(feature_name=f"d_{i}") for i in range(N_DENSE)]
+    label = CategoricalColumnWithIdentity(feature_name="label", category_num=2)
+    model = DCNv2(
+        sparse_columns=tuple(sparse),
+        dense_columns=tuple(dense),
+        label_column=label,
+        emb_size=EMB,
+        num_cross_layers=CROSS_LAYERS,
+        layers=MLP_UNITS,
+    )
+    trainer = Trainer(model)
+    trainer.compile(optimizer="adam", lr=1e-3, loss="bce", metrics=("auc",))
+
+    rng = np.random.default_rng(0)
+    batches = [make_host_batch(rng) for _ in range(4)]
+    trainer.init_state(batches[0], seed=0)
+
+    for i in range(WARMUP_STEPS):
+        trainer._train_step(batches[i % len(batches)])
+    jax.block_until_ready(trainer.state.params)
+
+    start = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        loss = trainer._train_step(batches[i % len(batches)])
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - start
+    return MEASURE_STEPS * BATCH / elapsed
+
+
+def bench_torch_reference() -> float:
+    """Reference-stack equivalent: torch DCN-v2 train step on host CPU."""
+    import torch
+
+    torch.manual_seed(0)
+
+    class TorchDCN(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embeddings = torch.nn.ModuleList(
+                [torch.nn.Embedding(VOCAB, EMB) for _ in range(N_SPARSE)]
+            )
+            d = N_SPARSE * EMB + N_DENSE
+            self.cross_w = torch.nn.ParameterList(
+                [torch.nn.Parameter(torch.randn(d, d) * 0.01) for _ in range(CROSS_LAYERS)]
+            )
+            self.cross_b = torch.nn.ParameterList(
+                [torch.nn.Parameter(torch.zeros(d)) for _ in range(CROSS_LAYERS)]
+            )
+            mlp = []
+            prev = d
+            for units in MLP_UNITS:
+                mlp += [torch.nn.Linear(prev, units), torch.nn.ReLU()]
+                prev = units
+            self.mlp = torch.nn.Sequential(*mlp)
+            self.head = torch.nn.Linear(d + MLP_UNITS[-1], 1)
+
+        def forward(self, sparse_ids, dense_vals):
+            embs = [emb(ids) for emb, ids in zip(self.embeddings, sparse_ids)]
+            x0 = torch.cat(embs + [dense_vals], dim=-1)
+            x = x0
+            for w, b in zip(self.cross_w, self.cross_b):
+                x = x0 * (x @ w + b) + x  # DCN-v2 cross
+            deep = self.mlp(x0)
+            return self.head(torch.cat([x, deep], dim=-1))[:, 0]
+
+    model = TorchDCN()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    loss_fn = torch.nn.BCEWithLogitsLoss()
+
+    rng = np.random.default_rng(0)
+    batch = make_host_batch(rng)
+    sparse_ids = [torch.from_numpy(batch[f"c_{i}"].astype(np.int64)) for i in range(N_SPARSE)]
+    dense_vals = torch.from_numpy(
+        np.stack([batch[f"d_{i}"] for i in range(N_DENSE)], axis=-1)
+    )
+    labels = torch.from_numpy(batch["label"].astype(np.float32))
+
+    def step():
+        opt.zero_grad()
+        out = model(sparse_ids, dense_vals)
+        loss = loss_fn(out, labels)
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    start = time.perf_counter()
+    for _ in range(TORCH_MEASURE_STEPS):
+        step()
+    elapsed = time.perf_counter() - start
+    return TORCH_MEASURE_STEPS * BATCH / elapsed
+
+
+def main():
+    ours = bench_tpu()
+    baseline = bench_torch_reference()
+    print(json.dumps({
+        "metric": "dcnv2_criteo_train_throughput",
+        "value": round(ours, 1),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(ours / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,33 @@
+from pytorchrec_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    data_sharding,
+    initialize_distributed,
+    make_mesh,
+    replicated,
+)
+from pytorchrec_tpu.parallel.sharding import (
+    is_embedding_table,
+    param_shardings,
+    shard_params,
+)
+from pytorchrec_tpu.parallel.embedding_engine import (
+    all_to_all_lookup,
+    make_sharded_lookup,
+    masked_psum_lookup,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "initialize_distributed",
+    "param_shardings",
+    "shard_params",
+    "is_embedding_table",
+    "masked_psum_lookup",
+    "all_to_all_lookup",
+    "make_sharded_lookup",
+]

@@ -39,13 +39,12 @@ class RLTrainer(Trainer):
     def __init__(self, model: ValueRLModel, mesh=None):
         super().__init__(model, mesh=mesh)
 
-    def init_state(self, sample_batch, seed: int = 2020) -> RLTrainState:
-        self._assert_compiled()
+    def _make_state(self, sample_batch, seed) -> RLTrainState:
         root = jax.random.PRNGKey(seed)
         init_rng, state_rng = jax.random.split(root)
         variables = self.model.init({"params": init_rng, "dropout": init_rng}, sample_batch)
         params = variables["params"]
-        self.state = RLTrainState(
+        return RLTrainState(
             params=params,
             opt_state=self.tx.init(params),
             step=jnp.zeros((), jnp.int32),
@@ -53,7 +52,6 @@ class RLTrainer(Trainer):
             # distinct buffers: donation forbids params/target aliasing
             target_params=jax.tree_util.tree_map(jnp.copy, params),
         )
-        return self.state
 
     def _build_train_step(self):
         model, loss_fn, tx = self.model, self.loss_fn, self.tx
@@ -86,7 +84,7 @@ class RLTrainer(Trainer):
             )
             return new_state, loss
 
-        return jax.jit(train_step, donate_argnums=0)
+        return self._jit_train_step(train_step)
 
     def _build_eval_step(self):
         model = self.model
@@ -99,7 +97,14 @@ class RLTrainer(Trainer):
             target = one_hot_first_target(prediction) if prediction.ndim == 2 else None
             return prediction, target
 
-        return jax.jit(eval_step)
+        if self.mesh is None:
+            return jax.jit(eval_step)
+        from pytorchrec_tpu.parallel.mesh import data_sharding
+
+        return jax.jit(
+            eval_step,
+            in_shardings=(self._state_shardings.params, data_sharding(self.mesh)),
+        )
 
     def fit(
         self,

@@ -66,8 +66,7 @@ class Trainer:
         self.metrics: Optional[MetricList] = None
         self._train_step_fn = None
         self._eval_step_fn = None
-        self._batch_sharding = None
-        self._state_sharding = None
+        self._state_shardings = None
 
     # ------------------------------------------------------------------
     # compile / init
@@ -105,22 +104,67 @@ class Trainer:
         if not self._compiled:
             raise RuntimeError("compile() must be called before training/evaluation")
 
-    def init_state(self, sample_batch: Batch, seed: int = 2020) -> TrainState:
-        """Initialize parameters from one (host) sample batch."""
-        self._assert_compiled()
+    def _make_state(self, sample_batch: Batch, seed) -> TrainState:
         root = jax.random.PRNGKey(seed)
         init_rng, state_rng = jax.random.split(root)
         variables = self.model.init(
             {"params": init_rng, "dropout": init_rng}, sample_batch, train=False
         )
         params = variables["params"]
-        self.state = TrainState(
+        return TrainState(
             params=params,
             opt_state=self.tx.init(params),
             step=jnp.zeros((), jnp.int32),
             rng=state_rng,
         )
-        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+    def _compute_state_shardings(self, sample_batch: Batch, seed):
+        """NamedSharding pytree over the whole train state: embedding tables
+        (and their optimizer moments, matched by path) row-sharded over the
+        mesh 'model' axis, everything else replicated. Resolved via
+        eval_shape so opt_state leaves inherit the table rule through their
+        param-named paths."""
+        from pytorchrec_tpu.parallel.sharding import is_embedding_table
+        from pytorchrec_tpu.parallel.mesh import MODEL_AXIS
+
+        mesh = self.mesh
+        model_size = mesh.shape.get(MODEL_AXIS, 1)
+        shape_tree = jax.eval_shape(lambda: self._make_state(sample_batch, seed))
+
+        def rule(path, leaf):
+            if (
+                model_size > 1
+                and is_embedding_table(path, leaf)
+                and leaf.shape[0] % model_size == 0
+                and leaf.shape[0] >= model_size
+            ):
+                return jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(MODEL_AXIS, None)
+                )
+            return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+        return jax.tree_util.tree_map_with_path(rule, shape_tree)
+
+    def init_state(self, sample_batch: Batch, seed: int = 2020) -> TrainState:
+        """Initialize parameters from one (host) sample batch.
+
+        With a mesh, the state materializes directly in its sharded layout
+        (tables land row-sharded; no full-table host copy)."""
+        self._assert_compiled()
+        if self.mesh is not None:
+            self._state_shardings = self._compute_state_shardings(sample_batch, seed)
+            make = jax.jit(
+                lambda b: self._make_state(b, seed),
+                out_shardings=self._state_shardings,
+            )
+            # sample batch stays unsharded: it only provides shapes
+            self.state = make(sample_batch)
+        else:
+            self.state = self._make_state(sample_batch, seed)
+        n_params = sum(
+            int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(self.state.params)
+        )
         logger.info("initialized %d parameters", n_params)
         return self.state
 
@@ -148,7 +192,23 @@ class Trainer:
             )
             return new_state, loss
 
-        return jax.jit(train_step, donate_argnums=0)
+        return self._jit_train_step(train_step)
+
+    def _jit_train_step(self, train_step):
+        """Single-device: plain jit with donation. Mesh: in/out shardings
+        pin the sharded-state layout; XLA inserts the data-axis grad psum and
+        the model-axis table-gather collectives."""
+        if self.mesh is None:
+            return jax.jit(train_step, donate_argnums=0)
+        from pytorchrec_tpu.parallel.mesh import data_sharding, replicated
+
+        loss_sharding = replicated(self.mesh)
+        return jax.jit(
+            train_step,
+            donate_argnums=0,
+            in_shardings=(self._state_shardings, data_sharding(self.mesh)),
+            out_shardings=(self._state_shardings, loss_sharding),
+        )
 
     def _build_eval_step(self):
         model = self.model
@@ -156,7 +216,14 @@ class Trainer:
         def eval_step(params, batch):
             return model.apply({"params": params}, batch, train=False)
 
-        return jax.jit(eval_step)
+        if self.mesh is None:
+            return jax.jit(eval_step)
+        from pytorchrec_tpu.parallel.mesh import data_sharding
+
+        return jax.jit(
+            eval_step,
+            in_shardings=(self._state_shardings.params, data_sharding(self.mesh)),
+        )
 
     def _train_step(self, batch: Batch) -> float:
         if self._train_step_fn is None:
