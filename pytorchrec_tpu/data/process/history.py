@@ -39,6 +39,18 @@ def pad_or_cut_array(array: np.ndarray, array_len: int, pad: int = 0) -> np.ndar
     return array
 
 
+def history_matrix(uids: np.ndarray, iids: np.ndarray, event_mask: np.ndarray,
+                   k: int, inclusive: bool) -> np.ndarray:
+    """Dispatch: native C++ kernel when available (bit-identical, tested),
+    numpy oracle otherwise. ``PYTORCHREC_TPU_NO_NATIVE=1`` forces numpy."""
+    if not os.environ.get("PYTORCHREC_TPU_NO_NATIVE"):
+        from pytorchrec_tpu import native
+
+        if native.available():
+            return native.history_matrix(uids, iids, event_mask, k, inclusive)
+    return _history_matrix(uids, iids, event_mask, k, inclusive)
+
+
 def _history_matrix(uids: np.ndarray, iids: np.ndarray, event_mask: np.ndarray,
                     k: int, inclusive: bool) -> np.ndarray:
     """``(rows, k+1)`` history array for one event stream.
@@ -102,11 +114,11 @@ def _generate(dataset_name: str, k: int, inclusive: bool, out_dir_name: str,
     iids = df[C.IID].to_numpy()
     labels = df[C.LABEL].to_numpy()
 
-    pos = _history_matrix(uids, iids, labels > 0, k, inclusive)
+    pos = history_matrix(uids, iids, labels > 0, k, inclusive)
     np.save(os.path.join(out_dir, pos_template % k), pos)
 
     if (labels == 0).any():
-        neg = _history_matrix(uids, iids, labels <= 0, k, inclusive)
+        neg = history_matrix(uids, iids, labels <= 0, k, inclusive)
         np.save(os.path.join(out_dir, neg_template % k), neg)
     logger.info("%s arrays (k=%d) for %s rows", out_dir_name, k, len(df))
 

@@ -58,6 +58,7 @@ class DataReader:
         append_id: bool = False,
         train_mode: TrainMode = TrainMode.POINT_WISE,
         random_seed: int = 2020,
+        neg_sample_mode: str = "parity",  # "parity" (reference RNG stream) or "fast" (native C++)
         **kwargs,
     ):
         self.dataset = dataset
@@ -70,6 +71,8 @@ class DataReader:
         self.append_id = append_id
         self.train_mode = train_mode
         self.random_seed = random_seed
+        self.neg_sample_mode = neg_sample_mode
+        self._fast_epoch = 0
         self.rng = np.random.default_rng(random_seed)
 
         self.interaction_df: Optional[pd.DataFrame] = None
@@ -284,10 +287,26 @@ class DataReader:
 
     def train_neg_sample(self) -> None:
         """Per-epoch pairwise negative sampling — reference RNG stream
-        (SimpleDataReader.py:280-300), vectorized conflict detection."""
+        (SimpleDataReader.py:280-300), vectorized conflict detection.
+
+        ``neg_sample_mode="fast"`` routes through the native C++ sampler
+        (pytorchrec_tpu/native/) — same rejection semantics, different RNG
+        stream, ~10x faster on large train sets.
+        """
         assert self.train_mode == TrainMode.PAIR_WISE
         n = len(self.splits[TRAIN][C.UID])
         lo, hi = self.min_iid_array_index, self.max_iid_array_index
+
+        if self.neg_sample_mode == "fast":
+            from pytorchrec_tpu import native
+
+            if native.available():
+                self._fast_epoch += 1
+                self.train_iid_pair_array[:, 1] = native.neg_sample(
+                    self.splits[TRAIN][C.UID], lo, hi, self._pos_key_array,
+                    seed=(self.random_seed << 20) + self._fast_epoch,
+                )
+                return
         neg = self.rng.integers(low=lo, high=hi, size=n, dtype=np.int32)
 
         uids = self.splits[TRAIN][C.UID].astype(np.int64)

@@ -238,13 +238,29 @@ class Trainer:
         return self._eval_step_fn(self.state.params, self._put_batch(batch))
 
     def _put_batch(self, batch: Batch):
-        """Host batch -> device, sharded over the mesh's data axis if set."""
+        """Host batch -> device, sharded over the mesh's data axis if set.
+
+        Already-transferred batches (from the prefetch thread) pass through
+        at no cost: device_put on a correctly-placed array is a no-op.
+        """
         if self.mesh is None:
             return batch
         sharding = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec("data")
         )
         return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), batch)
+
+    def _prefetch(self, batches):
+        """Wrap a host batch iterator with lookahead device transfer
+        (pytorchrec_tpu/data/prefetch.py — the DataLoader-workers analogue)."""
+        from pytorchrec_tpu.data.prefetch import device_put_prefetch
+
+        sharding = None
+        if self.mesh is not None:
+            sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("data")
+            )
+        return device_put_prefetch(batches, sharding=sharding, size=2)
 
     # ------------------------------------------------------------------
     # fit / evaluate / predict (reference IModel.py:127-308)
@@ -293,9 +309,8 @@ class Trainer:
             if train_mode == TrainMode.PAIR_WISE:
                 reader.train_neg_sample()
             loss = None
-            for b, batch in enumerate(
-                train_batches(reader, batch_size, shuffle_rng, shuffle, drop_last)
-            ):
+            batches = train_batches(reader, batch_size, shuffle_rng, shuffle, drop_last)
+            for b, batch in enumerate(self._prefetch(batches)):
                 callbacks.on_train_batch_begin(b)
                 loss = self._train_step(batch)
                 callbacks.on_train_batch_end(b, {"loss": float(loss)})

@@ -1,0 +1,99 @@
+"""Pallas kernel parity tests (interpret mode on CPU) against the XLA ops.
+
+On real TPU hardware the same kernels compile natively; scripts/tpu_smoke.py
+exercises that path on the one available chip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorchrec_tpu.ops.interactions import fm_interaction, cross_layer_v2
+from pytorchrec_tpu.ops.kernels.cross import cross_network_pallas
+from pytorchrec_tpu.ops.kernels.fm import fm_interaction_pallas
+
+
+def test_fm_kernel_forward_matches_xla():
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.normal(size=(100, 26, 16)), jnp.float32)
+    ours = fm_interaction_pallas(v, block_b=32, interpret=True)
+    ref = fm_interaction(v)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fm_kernel_gradient_matches_xla():
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.normal(size=(64, 8, 4)), jnp.float32)
+    g1 = jax.grad(lambda v: jnp.sum(fm_interaction_pallas(v, block_b=32, interpret=True) ** 2))(v)
+    g2 = jax.grad(lambda v: jnp.sum(fm_interaction(v) ** 2))(v)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
+def _xla_cross(x0, ws, bs):
+    xl = x0
+    for layer in range(ws.shape[0]):
+        xl = cross_layer_v2(x0, xl, ws[layer], bs[layer])
+    return xl
+
+
+def test_cross_kernel_forward_matches_xla():
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.normal(size=(70, 48)), jnp.float32)
+    ws = jnp.asarray(rng.normal(size=(3, 48, 48)) * 0.1, jnp.float32)
+    bs = jnp.asarray(rng.normal(size=(3, 48)) * 0.1, jnp.float32)
+    ours = cross_network_pallas(x0, ws, bs, block_b=32, interpret=True)
+    ref = _xla_cross(x0, ws, bs)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_cross_kernel_gradients_match_xla():
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(rng.normal(size=(40, 16)), jnp.float32)
+    ws = jnp.asarray(rng.normal(size=(2, 16, 16)) * 0.2, jnp.float32)
+    bs = jnp.asarray(rng.normal(size=(2, 16)) * 0.2, jnp.float32)
+
+    def loss_pallas(x0, ws, bs):
+        return jnp.sum(cross_network_pallas(x0, ws, bs, block_b=32, interpret=True) ** 2)
+
+    def loss_xla(x0, ws, bs):
+        return jnp.sum(_xla_cross(x0, ws, bs) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(x0, ws, bs)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(x0, ws, bs)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_din_kernel_matches_xla_module():
+    from pytorchrec_tpu.ops.attention import DINAttentionPool
+    from pytorchrec_tpu.ops.kernels.din_attention import din_attention_pool_pallas
+
+    rng = np.random.default_rng(4)
+    b, s, e, n = 10, 6, 8, 3
+    his = jnp.asarray(rng.normal(size=(b, s, e)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(b, n, e)), jnp.float32)
+    valid = jnp.asarray(rng.integers(0, 2, size=(b, s)), jnp.int32).at[:, 0].set(1)
+
+    module = DINAttentionPool(hidden_units=(16, 8), activation="sigmoid")
+    params = module.init(jax.random.PRNGKey(0), his, tgt, valid)
+    ref = module.apply(params, his, tgt, valid)
+
+    # pull the MLP + head weights out of the module params
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    named = {"/".join(str(getattr(k, "key", k)) for k in path): v for path, v in flat}
+    keys = sorted(named)
+    pairs = [
+        (named[k], named[k.replace("kernel", "bias")])
+        for k in keys if k.endswith("kernel")
+    ]
+    assert len(pairs) == 3, keys
+    # chain by shape: first layer consumes 4E features
+    mlp = []
+    in_dim = 4 * e
+    for _ in range(3):
+        w, bias = next(p for p in pairs if p[0].shape[0] == in_dim)
+        mlp += [w, bias]
+        in_dim = w.shape[1]
+    ours = din_attention_pool_pallas(his, tgt, valid, tuple(mlp), block_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-4)
