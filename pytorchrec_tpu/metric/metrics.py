@@ -88,18 +88,19 @@ class AUC(Metric):
     def __call__(self, prediction, target):
         scores = np.asarray(prediction).reshape(-1)
         labels = np.asarray(target).reshape(-1)
+        n = len(scores)
         order = np.argsort(scores, kind="mergesort")
         sorted_scores = scores[order]
-        # average ranks over ties
-        ranks = np.empty_like(sorted_scores, dtype=np.float64)
-        i = 0
-        n = len(sorted_scores)
-        while i < n:
-            j = i
-            while j + 1 < n and sorted_scores[j + 1] == sorted_scores[i]:
-                j += 1
-            ranks[i : j + 1] = 0.5 * (i + j) + 1.0
-            i = j + 1
+        # vectorized average-rank-over-ties: group boundaries via diff, each
+        # element gets the mean 1-based rank of its tie group
+        boundaries = np.empty(n, dtype=bool)
+        boundaries[0] = True
+        boundaries[1:] = sorted_scores[1:] != sorted_scores[:-1]
+        group_ids = np.cumsum(boundaries) - 1
+        group_starts = np.flatnonzero(boundaries)
+        group_ends = np.append(group_starts[1:], n)  # exclusive
+        mean_rank = 0.5 * (group_starts + group_ends - 1) + 1.0
+        ranks = mean_rank[group_ids]
         pos_mask = labels[order] > 0.5
         n_pos = int(pos_mask.sum())
         n_neg = n - n_pos

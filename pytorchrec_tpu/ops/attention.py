@@ -91,10 +91,15 @@ class DINAttentionPool(nn.Module):
     DIN is a required config of the build). Score MLP input is the standard
     DIN concat [hist, target, hist - target, hist * target]; invalid steps are
     masked out of the softmax.
+
+    Owns its 2-hidden-layer sigmoid score MLP + head as explicit params so
+    the same weights serve the XLA composite and the fused Pallas kernel
+    (ops/kernels/din_attention.py); ``use_pallas=None`` auto-selects.
     """
 
     hidden_units: tuple = (80, 40)
     activation: str = "sigmoid"
+    use_pallas: bool = None  # None = auto (TPU only)
 
     @nn.compact
     def __call__(
@@ -104,16 +109,41 @@ class DINAttentionPool(nn.Module):
         valid_his: jnp.ndarray,  # [B, S]
         train: bool = False,
     ) -> jnp.ndarray:
+        e = his_vectors.shape[-1]
+        dims = [4 * e, *self.hidden_units, 1]
+        params = []
+        for i in range(len(dims) - 1):
+            params.append(self.param(f"w{i}", normal_init, (dims[i], dims[i + 1])))
+            params.append(self.param(f"b{i}", normal_init, (dims[i + 1],)))
+
         squeeze = target_vector.ndim == 2
         if squeeze:
             target_vector = target_vector[:, None, :]
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            from pytorchrec_tpu.ops.kernels import use_pallas_default
+
+            use_pallas = use_pallas_default()
+        if use_pallas:
+            from pytorchrec_tpu.ops.kernels.din_attention import (
+                din_attention_pool_pallas,
+            )
+
+            pooled = din_attention_pool_pallas(
+                his_vectors, target_vector, valid_his, tuple(params),
+            )
+            return pooled[:, 0, :] if squeeze else pooled
+
+        act = jax.nn.sigmoid if self.activation == "sigmoid" else jax.nn.relu
         # [B, N, S, E] pairwise features
         his = his_vectors[:, None, :, :]
         tgt = target_vector[:, :, None, :]
         his_b, tgt_b = jnp.broadcast_arrays(his, tgt)
-        feats = jnp.concatenate([his_b, tgt_b, his_b - tgt_b, his_b * tgt_b], axis=-1)
-        scores = MLP((*self.hidden_units,), activation=self.activation)(feats, train=train)
-        scores = nn.Dense(1, kernel_init=normal_init, bias_init=normal_init)(scores)[..., 0]
+        a = jnp.concatenate([his_b, tgt_b, his_b - tgt_b, his_b * tgt_b], axis=-1)
+        for i in range(len(self.hidden_units)):
+            a = act(a @ params[2 * i] + params[2 * i + 1])
+        scores = (a @ params[-2] + params[-1])[..., 0]
         scores = jnp.where(valid_his[:, None, :].astype(bool), scores, -jnp.inf)
         weights = jax.nn.softmax(scores, axis=-1)  # [B, N, S]
         pooled = jnp.einsum("bns,bse->bne", weights, his_vectors)

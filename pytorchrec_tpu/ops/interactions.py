@@ -14,13 +14,25 @@ import jax.numpy as jnp
 from pytorchrec_tpu.ops.embedding import normal_init
 
 
-def fm_interaction(field_vectors: jnp.ndarray) -> jnp.ndarray:
+def fm_interaction(field_vectors: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     """FM second-order term, summed over factor dims.
 
     ``field_vectors [..., F, E]`` -> ``[...]`` using the classic identity
     ``0.5 * sum_e((sum_f v)^2 - sum_f v^2)`` — O(F*E) instead of O(F^2 * E),
     and a pure VPU-friendly reduction on TPU.
+
+    ``use_pallas=True`` routes through the fused kernel
+    (ops/kernels/fm.py). Default stays XLA: this op is bandwidth-bound and
+    XLA's fusion already wins at typical sizes (measured on v5e —
+    scripts/tpu_smoke.py); the kernel exists for composition into larger
+    fused pipelines.
     """
+    if use_pallas:
+        from pytorchrec_tpu.ops.kernels.fm import fm_interaction_pallas
+
+        lead = field_vectors.shape[:-2]
+        flat = field_vectors.reshape(-1, *field_vectors.shape[-2:])
+        return fm_interaction_pallas(flat).reshape(lead)
     sum_of_fields = jnp.sum(field_vectors, axis=-2)
     sum_of_squares = jnp.sum(jnp.square(field_vectors), axis=-2)
     return 0.5 * jnp.sum(jnp.square(sum_of_fields) - sum_of_squares, axis=-1)
@@ -54,13 +66,38 @@ def cross_layer_v2(x0: jnp.ndarray, xl: jnp.ndarray, w: jnp.ndarray, b: jnp.ndar
 
 
 class CrossNetworkV2(nn.Module):
-    """Stack of DCN-v2 cross layers."""
+    """Stack of DCN-v2 cross layers.
+
+    Owns stacked parameters ``ws [L, D, D]`` / ``bs [L, D]`` so the same
+    weights serve both backends: the XLA layer loop and the fused Pallas
+    kernel (ops/kernels/cross.py — all layers in one VMEM-resident pass).
+    ``use_pallas=None`` auto-selects: kernel on TPU, XLA elsewhere.
+    """
 
     num_layers: int
+    use_pallas: bool = None  # None = auto (TPU only)
 
     @nn.compact
     def __call__(self, x0: jnp.ndarray) -> jnp.ndarray:
-        xl = x0
-        for _ in range(self.num_layers):
-            xl = CrossLayerV2()(x0, xl)
-        return xl
+        dim = x0.shape[-1]
+        ws = self.param("ws", normal_init, (self.num_layers, dim, dim))
+        bs = self.param("bs", normal_init, (self.num_layers, dim))
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            from pytorchrec_tpu.ops.kernels import use_pallas_default
+
+            use_pallas = use_pallas_default()
+
+        lead = x0.shape[:-1]
+        flat = x0.reshape(-1, dim)  # candidate mode [B, N, D] -> [B*N, D]
+        if use_pallas:
+            from pytorchrec_tpu.ops.kernels.cross import cross_network_pallas
+
+            out = cross_network_pallas(flat, ws, bs)
+        else:
+            xl = flat
+            for layer in range(self.num_layers):
+                xl = cross_layer_v2(flat, xl, ws[layer], bs[layer])
+            out = xl
+        return out.reshape(*lead, dim)

@@ -8,6 +8,7 @@ from pytorchrec_tpu.training.callbacks import (
     ProgbarLogger,
     TerminateOnNaN,
 )
+from pytorchrec_tpu.training.checkpoint import CheckpointCallback, CheckpointManager
 from pytorchrec_tpu.training.rl_trainer import RLTrainer
 from pytorchrec_tpu.training.state import RLTrainState, TrainState
 from pytorchrec_tpu.training.trainer import Trainer
@@ -23,6 +24,8 @@ __all__ = [
     "ProgbarLogger",
     "Trainer",
     "RLTrainer",
+    "CheckpointManager",
+    "CheckpointCallback",
     "TrainState",
     "RLTrainState",
 ]

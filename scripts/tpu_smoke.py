@@ -71,17 +71,13 @@ def main():
     his = jnp.asarray(rng.normal(size=(b, s, e)), jnp.float32)
     tgt = jnp.asarray(rng.normal(size=(b, n, e)), jnp.float32)
     valid = jnp.asarray(rng.integers(0, 2, size=(b, s)), jnp.int32).at[:, 0].set(1)
-    module = DINAttentionPool(hidden_units=(80, 40), activation="sigmoid")
+    module = DINAttentionPool(hidden_units=(80, 40), activation="sigmoid",
+                              use_pallas=False)
     params = module.init(jax.random.PRNGKey(0), his, tgt, valid)
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    named = {"/".join(str(getattr(k, "key", k)) for k in path): val for path, val in flat}
-    pairs = [(named[k], named[k.replace("kernel", "bias")])
-             for k in sorted(named) if k.endswith("kernel")]
-    mlp, in_dim = [], 4 * e
-    for _ in range(3):
-        w, bias = next(p for p in pairs if p[0].shape[0] == in_dim)
-        mlp += [w, bias]
-        in_dim = w.shape[1]
+    p = params["params"]
+    mlp = []
+    for i in range(3):
+        mlp += [p[f"w{i}"], p[f"b{i}"]]
 
     xla_din = jax.jit(lambda h, t, m: module.apply(params, h, t, m))
     pl_din = jax.jit(lambda h, t, m: din_attention_pool_pallas(h, t, m, tuple(mlp), block_b=128))

@@ -1,0 +1,108 @@
+"""Orbax checkpoint manager tests: async atomic save, resume, retention,
+sharded restore on the virtual mesh."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from pytorchrec_tpu.data import SimpleDataReader, SplitMode, TrainMode
+from pytorchrec_tpu.data.process.datasets.synthetic import generate_synthetic_ml
+from pytorchrec_tpu.models import FunkSVD
+from pytorchrec_tpu.training import Trainer
+from pytorchrec_tpu.training.checkpoint import CheckpointCallback, CheckpointManager
+from pytorchrec_tpu.utils import constants as C
+
+DATASET = "Synthetic-ML-Ckpt"
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("wd")
+    os.environ["PYTORCHREC_TPU_WORK_DIR"] = str(tmp)
+    generate_synthetic_ml(DATASET, n_users=63, n_items=127, seed=21)
+    yield str(tmp)
+    os.environ.pop("PYTORCHREC_TPU_WORK_DIR", None)
+
+
+def make_trainer(reader, mesh=None):
+    cols = reader.get_feature_column_dict()
+    model = FunkSVD(uid_column=cols[C.UID], iid_column=cols[C.IID],
+                    label_column=cols[C.LABEL], emb_size=8)
+    t = Trainer(model, mesh=mesh)
+    t.compile(optimizer="adam", lr=0.02, loss="bce", metrics=("hit@5",), user_sample_n=10)
+    return t
+
+
+def make_reader():
+    return SimpleDataReader(DATASET, split_mode=SplitMode.LEAVE_K_OUT, warm_n=5,
+                            leave_k=1, neg_sample_n=9,
+                            train_mode=TrainMode.POINT_WISE, random_seed=2020)
+
+
+def test_save_restore_roundtrip(dataset_dir, tmp_path):
+    reader = make_reader()
+    trainer = make_trainer(reader)
+    trainer.fit(reader, batch_size=32, epochs=2, verbose=0, eval_dev=False)
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save(int(trainer.state.step), trainer.state)
+    ckpt.wait()
+
+    trainer2 = make_trainer(reader)
+    trainer2.fit(reader, batch_size=32, epochs=1, verbose=0, eval_dev=False, seed=9)
+    restored = ckpt.restore(trainer2.state)
+    assert int(restored.step) == int(trainer.state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ckpt.close()
+
+
+def test_callback_retention_and_resume(dataset_dir, tmp_path):
+    reader = make_reader()
+    trainer = make_trainer(reader)
+    cb = CheckpointCallback(str(tmp_path / "cb"), every_epochs=1, max_to_keep=2)
+    trainer.fit(reader, batch_size=32, epochs=4, verbose=0, eval_dev=False,
+                callbacks=[cb])
+    cb.ckpt.wait()
+    # retention: only the last 2 steps kept
+    steps = sorted(cb.ckpt.manager.all_steps())
+    assert len(steps) == 2
+    assert cb.ckpt.latest_step() == int(trainer.state.step)
+
+    # resume into a fresh trainer
+    trainer2 = make_trainer(reader)
+    bootstrap = reader.get_batch("train", np.arange(2))
+    trainer2.init_state(bootstrap, seed=123)
+    cb2 = CheckpointCallback(str(tmp_path / "cb"))
+    cb2.set_trainer(trainer2)
+    resumed = cb2.maybe_resume()
+    assert resumed == int(trainer.state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(trainer2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    cb.ckpt.close()
+    cb2.ckpt.close()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_sharded_restore_keeps_shardings(dataset_dir, tmp_path):
+    from pytorchrec_tpu.parallel import MODEL_AXIS, make_mesh
+
+    reader = make_reader()
+    mesh = make_mesh(data=4, model=2)
+    trainer = make_trainer(reader, mesh=mesh)
+    trainer.fit(reader, batch_size=32, epochs=1, verbose=0, eval_dev=False)
+    ckpt = CheckpointManager(str(tmp_path / "sharded"))
+    ckpt.save(int(trainer.state.step), trainer.state)
+    ckpt.wait()
+
+    restored = ckpt.restore(trainer.state)
+    flat = jax.tree_util.tree_flatten_with_path(restored.params)[0]
+    specs = [
+        leaf.sharding.spec for path, leaf in flat
+        if "embedding" in "/".join(str(getattr(k, "key", k)) for k in path).lower()
+    ]
+    assert any(spec and spec[0] == MODEL_AXIS for spec in specs), specs
+    ckpt.close()

@@ -75,25 +75,65 @@ def test_din_kernel_matches_xla_module():
     tgt = jnp.asarray(rng.normal(size=(b, n, e)), jnp.float32)
     valid = jnp.asarray(rng.integers(0, 2, size=(b, s)), jnp.int32).at[:, 0].set(1)
 
-    module = DINAttentionPool(hidden_units=(16, 8), activation="sigmoid")
+    module = DINAttentionPool(hidden_units=(16, 8), activation="sigmoid",
+                              use_pallas=False)
     params = module.init(jax.random.PRNGKey(0), his, tgt, valid)
     ref = module.apply(params, his, tgt, valid)
 
-    # pull the MLP + head weights out of the module params
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    named = {"/".join(str(getattr(k, "key", k)) for k in path): v for path, v in flat}
-    keys = sorted(named)
-    pairs = [
-        (named[k], named[k.replace("kernel", "bias")])
-        for k in keys if k.endswith("kernel")
-    ]
-    assert len(pairs) == 3, keys
-    # chain by shape: first layer consumes 4E features
+    # the module owns explicit w{i}/b{i} params shared by both backends
+    p = params["params"]
     mlp = []
-    in_dim = 4 * e
-    for _ in range(3):
-        w, bias = next(p for p in pairs if p[0].shape[0] == in_dim)
-        mlp += [w, bias]
-        in_dim = w.shape[1]
+    for i in range(3):
+        mlp += [p[f"w{i}"], p[f"b{i}"]]
     ours = din_attention_pool_pallas(his, tgt, valid, tuple(mlp), block_b=8, interpret=True)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_din_kernel_single_hidden_layer():
+    """Arbitrary-depth MLP support: 1 hidden layer."""
+    from pytorchrec_tpu.ops.attention import DINAttentionPool
+    from pytorchrec_tpu.ops.kernels.din_attention import din_attention_pool_pallas
+
+    rng = np.random.default_rng(5)
+    b, s, e, n = 6, 4, 8, 2
+    his = jnp.asarray(rng.normal(size=(b, s, e)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(b, n, e)), jnp.float32)
+    valid = jnp.asarray(rng.integers(0, 2, size=(b, s)), jnp.int32).at[:, 0].set(1)
+    module = DINAttentionPool(hidden_units=(8,), use_pallas=False)
+    params = module.init(jax.random.PRNGKey(1), his, tgt, valid)
+    ref = module.apply(params, his, tgt, valid)
+    p = params["params"]
+    mlp = (p["w0"], p["b0"], p["w1"], p["b1"])
+    ours = din_attention_pool_pallas(his, tgt, valid, mlp, block_b=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_din_kernel_gradients_match_xla():
+    """custom_vjp: gradients through the fused DIN pool == XLA composite."""
+    from pytorchrec_tpu.ops.attention import DINAttentionPool
+    from pytorchrec_tpu.ops.kernels.din_attention import din_attention_pool_pallas
+
+    rng = np.random.default_rng(6)
+    b, s, e, n = 6, 4, 8, 2
+    his = jnp.asarray(rng.normal(size=(b, s, e)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(b, n, e)), jnp.float32)
+    valid = jnp.asarray(rng.integers(0, 2, size=(b, s)), jnp.int32).at[:, 0].set(1)
+    module = DINAttentionPool(hidden_units=(8,), use_pallas=False)
+    params = module.init(jax.random.PRNGKey(1), his, tgt, valid)
+    p = params["params"]
+    mlp = (p["w0"], p["b0"], p["w1"], p["b1"])
+
+    def loss_pallas(his, tgt, mlp):
+        return jnp.sum(
+            din_attention_pool_pallas(his, tgt, valid, mlp, block_b=8, interpret=True) ** 2
+        )
+
+    def loss_xla(his, tgt, mlp):
+        return jnp.sum(module.apply({"params": {
+            "w0": mlp[0], "b0": mlp[1], "w1": mlp[2], "b1": mlp[3]
+        }}, his, tgt, valid) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(his, tgt, mlp)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(his, tgt, mlp)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
