@@ -88,9 +88,28 @@ class _CTRBase(RecModel):
             return prediction, one_hot_first_target(prediction)
         return prediction, label_target(self.label_column, batch)
 
+    # sparse-trainer protocol (training/sparse_trainer.py): table param path
+    # -> the batch ids that gather from it. Second-order field tables are
+    # only materialized by models that call _field_vectors; the trainer
+    # filters paths against the real param tree.
+    _uses_field_embeddings = True
+
+    def sparse_table_ids(self, batch: Batch):
+        ids_map = {}
+        for column in self.sparse_columns:
+            ids = column.get_feature_data(batch)
+            if ids is None:
+                continue
+            ids_map[f"lin_{column.feature_name}/embedding"] = ids
+            if self._uses_field_embeddings:
+                ids_map[f"emb_{column.feature_name}/embedding"] = ids
+        return ids_map
+
 
 class LR(_CTRBase):
     """Logistic regression: first-order terms only (logit output)."""
+
+    _uses_field_embeddings = False
 
     def setup(self):
         self._build_embeddings()

@@ -37,3 +37,10 @@ class FunkSVD(RecModel):
 
         prediction = jnp.sum(u_vectors[:, None, :] * i_vectors, axis=-1)  # [B, N]
         return prediction, one_hot_first_target(prediction)
+
+    def sparse_table_ids(self, batch: Batch):
+        """Sparse-trainer protocol (training/sparse_trainer.py)."""
+        return {
+            "u_embeddings/embedding": self.uid_column.get_feature_data(batch),
+            "i_embeddings/embedding": self.iid_column.get_feature_data(batch),
+        }

@@ -1,0 +1,181 @@
+"""Sparse-embedding trainer: lazy row-sparse optimizer updates for tables.
+
+Dense Adam over a [V, E] table moves ~6·V·E·4 bytes of HBM per step even
+when the batch touches B·F rows; for Criteo-scale tables that traffic IS the
+step time. This trainer keeps dense parameters on the normal optax path and
+updates embedding tables with row-sparse lazy Adam / Adagrad
+(pytorchrec_tpu/ops/sparse_update.py) — only touched rows move.
+
+How gradients stay sparse without restructuring the models (the
+"scatter-patch" trick): for each table ``T`` with batch ids ``ids``,
+introduce ``rows = stop_grad(T)[ids]`` as an explicit differentiable input
+and run the model on ``params`` where the table leaf is replaced by
+``stop_grad(T).at[ids].set(rows)``. The model's internal gather then reads
+exactly ``rows``, so ``d(loss)/d(rows)`` is the per-occurrence row gradient
+(duplicates re-sum inside the sparse update), while the dense table leaf
+itself contributes no gradient. One jit, tables donated.
+
+Models opt in by implementing
+``sparse_table_ids(batch) -> {table_param_path: ids}`` (path like
+``"emb_c_0/embedding"``); the CTR family and FunkSVD do.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+from pytorchrec_tpu.ops.sparse_update import sparse_adagrad, sparse_lazy_adam
+from pytorchrec_tpu.training.state import TrainState
+from pytorchrec_tpu.training.trainer import Trainer
+
+logger = logging.getLogger(__name__)
+
+import flax.struct
+
+
+@flax.struct.dataclass
+class SparseTrainState(TrainState):
+    """``opt_state`` covers the dense leaves; tables live in ``params`` with
+    their row-sparse moments here (dict: path -> moment pytree)."""
+
+    table_moments: Dict[str, Dict[str, jnp.ndarray]] = None
+
+
+def _flatten(params):
+    return traverse_util.flatten_dict(params, sep="/")
+
+
+def _unflatten(flat):
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
+class SparseEmbeddingTrainer(Trainer):
+    """Trainer with row-sparse table updates (lazy Adam or Adagrad)."""
+
+    def __init__(self, model, mesh=None, table_optimizer: str = "adam"):
+        assert hasattr(model, "sparse_table_ids"), (
+            f"{type(model).__name__} does not implement sparse_table_ids()"
+        )
+        assert table_optimizer in ("adam", "adagrad"), table_optimizer
+        super().__init__(model, mesh=mesh)
+        self.table_optimizer = table_optimizer
+        self._table_lr = None
+
+    def compile(self, *args, lr: float = 1e-3, **kwargs):
+        super().compile(*args, lr=lr, **kwargs)
+        self._table_lr = lr
+
+    def _make_state(self, sample_batch, seed) -> SparseTrainState:
+        root = jax.random.PRNGKey(seed)
+        init_rng, state_rng = jax.random.split(root)
+        variables = self.model.init(
+            {"params": init_rng, "dropout": init_rng}, sample_batch, train=False
+        )
+        params = variables["params"]
+
+        declared = set(self.model.sparse_table_ids(sample_batch).keys())
+        flat = _flatten(params)
+        # a model may declare tables it never materialized (e.g. LR's unused
+        # field embeddings); keep the intersection with the real param tree
+        table_paths = declared & set(flat)
+        if declared - table_paths:
+            logger.info("ignoring absent tables: %s", sorted(declared - table_paths))
+        self._table_paths = table_paths
+
+        # dense optimizer skips the table leaves
+        import optax
+
+        def mask_tree():
+            return _unflatten({k: k not in table_paths for k in flat})
+
+        self._dense_tx = optax.masked(self.tx, mask_tree())
+
+        if self.table_optimizer == "adam":
+            moments = {
+                path: {"m": jnp.zeros_like(flat[path]), "v": jnp.zeros_like(flat[path])}
+                for path in table_paths
+            }
+        else:
+            moments = {
+                path: {"acc": jnp.zeros_like(flat[path])} for path in table_paths
+            }
+        return SparseTrainState(
+            params=params,
+            opt_state=self._dense_tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=state_rng,
+            table_moments=moments,
+        )
+
+    def _build_train_step(self):
+        model, loss_fn = self.model, self.loss_fn
+        table_optimizer, table_lr = self.table_optimizer, self._table_lr
+        dense_tx = self._dense_tx
+
+        table_paths = self._table_paths
+
+        def train_step(state: SparseTrainState, batch):
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            ids_map = {
+                path: jnp.asarray(ids).reshape(-1).astype(jnp.int32)
+                for path, ids in model.sparse_table_ids(batch).items()
+                if path in table_paths
+            }
+            flat_params = _flatten(state.params)
+            rows_in = {
+                path: jax.lax.stop_gradient(flat_params[path])[ids]
+                for path, ids in ids_map.items()
+            }
+
+            def compute_loss(params, rows):
+                flat = dict(_flatten(params))
+                for path, ids in ids_map.items():
+                    base = jax.lax.stop_gradient(flat[path])
+                    flat[path] = base.at[ids].set(rows[path])
+                patched = _unflatten(flat)
+                prediction, target = model.apply(
+                    {"params": patched}, batch, train=True, rngs={"dropout": step_rng}
+                )
+                return loss_fn(prediction, target)
+
+            loss, (dense_grads, row_grads) = jax.value_and_grad(
+                compute_loss, argnums=(0, 1)
+            )(state.params, rows_in)
+
+            updates, opt_state = dense_tx.update(
+                dense_grads, state.opt_state, state.params
+            )
+            params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+
+            step = state.step + 1
+            flat = dict(_flatten(params))
+            moments = dict(state.table_moments)
+            for path, ids in ids_map.items():
+                if table_optimizer == "adam":
+                    table, m, v = sparse_lazy_adam(
+                        flat[path], moments[path]["m"], moments[path]["v"],
+                        ids, row_grads[path], step, lr=table_lr,
+                    )
+                    flat[path] = table
+                    moments[path] = {"m": m, "v": v}
+                else:
+                    table, acc = sparse_adagrad(
+                        flat[path], moments[path]["acc"], ids, row_grads[path],
+                        lr=table_lr,
+                    )
+                    flat[path] = table
+                    moments[path] = {"acc": acc}
+
+            new_state = state.replace(
+                params=_unflatten(flat), opt_state=opt_state, step=step,
+                table_moments=moments,
+            )
+            return new_state, loss
+
+        return self._jit_train_step(train_step)

@@ -1,0 +1,163 @@
+"""Row-sparse optimizer tests: dedup math, lazy-Adam parity on touched rows,
+and the SparseEmbeddingTrainer end-to-end (learning + untouched rows frozen)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorchrec_tpu.ops.sparse_update import (
+    dedup_row_grads,
+    sparse_adagrad,
+    sparse_lazy_adam,
+)
+
+
+def test_dedup_row_grads_sums_duplicates():
+    ids = jnp.asarray([3, 1, 3, 7, 1, 3], jnp.int32)
+    dvec = jnp.arange(12, dtype=jnp.float32).reshape(6, 2)
+    g = dedup_row_grads(ids, dvec)
+    valid = np.asarray(g.mask) > 0
+    got = {int(i): r for i, r in zip(np.asarray(g.ids)[valid], np.asarray(g.rows)[valid])}
+    assert set(got) == {1, 3, 7}
+    np.testing.assert_allclose(got[1], dvec[1] + dvec[4])
+    np.testing.assert_allclose(got[3], dvec[0] + dvec[2] + dvec[5])
+    np.testing.assert_allclose(got[7], dvec[3])
+
+
+def test_sparse_lazy_adam_matches_dense_on_touched_rows():
+    rng = np.random.default_rng(0)
+    V, E = 50, 4
+    table = jnp.asarray(rng.normal(size=(V, E)), jnp.float32)
+    m = jnp.asarray(rng.normal(size=(V, E)) * 0.1, jnp.float32)
+    v = jnp.asarray(np.abs(rng.normal(size=(V, E))) * 0.1, jnp.float32)
+    ids = jnp.asarray([5, 9, 5, 30], jnp.int32)
+    dvec = jnp.asarray(rng.normal(size=(4, E)), jnp.float32)
+    step = jnp.asarray(7, jnp.int32)
+    lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+
+    new_table, new_m, new_v = sparse_lazy_adam(table, m, v, ids, dvec, step, lr, b1, b2, eps)
+
+    # dense lazy reference on the touched rows
+    dense_g = np.zeros((V, E), np.float32)
+    for i, row in zip(np.asarray(ids), np.asarray(dvec)):
+        dense_g[i] += row
+    touched = np.unique(np.asarray(ids))
+    exp_m, exp_v = np.asarray(m).copy(), np.asarray(v).copy()
+    exp_t = np.asarray(table).copy()
+    for i in touched:
+        exp_m[i] = b1 * exp_m[i] + (1 - b1) * dense_g[i]
+        exp_v[i] = b2 * exp_v[i] + (1 - b2) * dense_g[i] ** 2
+        m_hat = exp_m[i] / (1 - b1 ** 7)
+        v_hat = exp_v[i] / (1 - b2 ** 7)
+        exp_t[i] -= lr * m_hat / (np.sqrt(v_hat) + eps)
+
+    np.testing.assert_allclose(np.asarray(new_table), exp_t, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_m), exp_m, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_v), exp_v, rtol=1e-5, atol=1e-6)
+    # untouched rows bit-identical
+    untouched = np.setdiff1d(np.arange(V), touched)
+    np.testing.assert_array_equal(np.asarray(new_table)[untouched], np.asarray(table)[untouched])
+
+
+def test_sparse_adagrad_touched_rows():
+    V, E = 20, 3
+    table = jnp.ones((V, E), jnp.float32)
+    acc = jnp.zeros((V, E), jnp.float32)
+    ids = jnp.asarray([2, 2, 4], jnp.int32)
+    dvec = jnp.asarray([[1, 0, 0], [1, 0, 0], [0, 2, 0]], jnp.float32)
+    new_table, new_acc = sparse_adagrad(table, acc, ids, dvec, lr=0.1)
+    np.testing.assert_allclose(np.asarray(new_acc)[2], [4, 0, 0])
+    np.testing.assert_allclose(np.asarray(new_acc)[4], [0, 4, 0])
+    np.testing.assert_allclose(np.asarray(new_table)[3], [1, 1, 1])
+    assert np.asarray(new_table)[2, 0] < 1.0
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    from pytorchrec_tpu.data.process.datasets.synthetic import generate_synthetic_ml
+
+    tmp = tmp_path_factory.mktemp("wd")
+    os.environ["PYTORCHREC_TPU_WORK_DIR"] = str(tmp)
+    generate_synthetic_ml("Synthetic-ML-Sparse", n_users=60, n_items=150, seed=31)
+    yield str(tmp)
+    os.environ.pop("PYTORCHREC_TPU_WORK_DIR", None)
+
+
+def _reader():
+    from pytorchrec_tpu.data import SimpleDataReader, SplitMode, TrainMode
+
+    return SimpleDataReader(
+        "Synthetic-ML-Sparse", split_mode=SplitMode.LEAVE_K_OUT, warm_n=5,
+        leave_k=1, neg_sample_n=9, train_mode=TrainMode.POINT_WISE,
+        random_seed=2020,
+    )
+
+
+def test_sparse_trainer_funksvd_learns(dataset_dir):
+    from pytorchrec_tpu.models import FunkSVD
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+    from pytorchrec_tpu.utils import constants as C
+
+    reader = _reader()
+    cols = reader.get_feature_column_dict()
+    model = FunkSVD(uid_column=cols[C.UID], iid_column=cols[C.IID],
+                    label_column=cols[C.LABEL], emb_size=8)
+    t = SparseEmbeddingTrainer(model)
+    t.compile(optimizer="adam", lr=0.05, loss="bce", metrics=("hit@5",), user_sample_n=10)
+    h = t.fit(reader, batch_size=32, epochs=3, verbose=0, dev_freq=1)
+    losses = h.history["loss"]
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+    assert np.isfinite(h.history["hit@5"][-1])
+    # table moments exist and only for the two tables
+    assert set(t.state.table_moments) == {
+        "u_embeddings/embedding", "i_embeddings/embedding",
+    }
+
+
+def test_sparse_trainer_untouched_rows_frozen(dataset_dir):
+    """Rows never seen in a batch keep their init values + zero moments."""
+    from pytorchrec_tpu.models import FunkSVD
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+    from pytorchrec_tpu.feature_column import CategoricalColumnWithIdentity
+
+    uid = CategoricalColumnWithIdentity(feature_name="uid", category_num=100)
+    iid = CategoricalColumnWithIdentity(feature_name="iid", category_num=100)
+    label = CategoricalColumnWithIdentity(feature_name="label", category_num=2)
+    model = FunkSVD(uid_column=uid, iid_column=iid, label_column=label, emb_size=4)
+    t = SparseEmbeddingTrainer(model)
+    t.compile(optimizer="adam", lr=0.1, loss="bce", metrics=("hit@5",))
+    batch = {
+        "uid": np.asarray([1, 2, 3], np.int32),
+        "iid": np.asarray([10, 11, 10], np.int32),
+        "label": np.asarray([1, 0, 1], np.int32),
+    }
+    t.init_state(batch, seed=0)
+    before = np.asarray(t.state.params["u_embeddings"]["embedding"]).copy()
+    for _ in range(3):
+        t._train_step(batch)
+    after = np.asarray(t.state.params["u_embeddings"]["embedding"])
+    changed = np.any(before != after, axis=1)
+    assert changed[[1, 2, 3]].all()
+    untouched = np.setdiff1d(np.arange(100), [1, 2, 3])
+    np.testing.assert_array_equal(before[untouched], after[untouched])
+
+
+def test_sparse_trainer_dcn_with_candidate_mode(dataset_dir):
+    """CTR family + [B, N] candidate gathers through the scatter-patch."""
+    from pytorchrec_tpu.tasks import build_model, build_reader
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+    from pytorchrec_tpu.data import SplitMode, TrainMode
+
+    reader = build_reader("dcn", "Synthetic-ML-Sparse",
+                          split_mode=SplitMode.LEAVE_K_OUT, warm_n=5, leave_k=1,
+                          neg_sample_n=9, train_mode=TrainMode.POINT_WISE,
+                          random_seed=2020)
+    model = build_model("dcn", reader, emb_size=4)
+    t = SparseEmbeddingTrainer(model, table_optimizer="adagrad")
+    t.compile(optimizer="adam", lr=0.02, loss="bce", metrics=("ndcg@5",), user_sample_n=10)
+    h = t.fit(reader, batch_size=32, epochs=2, verbose=0, dev_freq=1)
+    assert all(np.isfinite(h.history["loss"]))
+    assert np.isfinite(h.history["ndcg@5"][-1])
