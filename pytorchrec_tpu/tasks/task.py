@@ -33,7 +33,10 @@ from pytorchrec_tpu.utils import constants as C
 logger = logging.getLogger(__name__)
 
 
-class ITask:
+from pytorchrec_tpu.utils.argument import ArgumentDescription, WithArguments
+
+
+class ITask(WithArguments):
     """Abstract task (reference ITask.py:9-21)."""
 
     def run(self):  # pragma: no cover
@@ -41,6 +44,60 @@ class ITask:
 
 
 class Task(ITask):
+    @classmethod
+    def get_argument_descriptions(cls):
+        """Declared hyperparameter flag set (reference Task.py:33-76) — the
+        same specs console_main's argparse surface is built from."""
+        from pytorchrec_tpu.loss import loss_name_list
+        from pytorchrec_tpu.models import model_name_list
+        from pytorchrec_tpu.optim import optimizer_name_list
+        from pytorchrec_tpu.utils.enum_utils import get_enum_values
+
+        return [
+            ArgumentDescription("debug", bool, "run without writing artifacts",
+                                default_value=False),
+            ArgumentDescription("model_name", str, "model name",
+                                legal_value_list=model_name_list),
+            ArgumentDescription("random_seed", int, "random seed",
+                                default_value=2020, lower_closed_bound=0),
+            ArgumentDescription("metrics", str, "comma separated, e.g. ndcg@10,hit@5",
+                                default_value="ndcg@10"),
+            ArgumentDescription("train_mode", str, "training mode",
+                                default_value=TrainMode.POINT_WISE.value,
+                                legal_value_list=get_enum_values(TrainMode)),
+            ArgumentDescription("epoch", int, "training epochs",
+                                default_value=100, lower_closed_bound=1),
+            ArgumentDescription("batch_size", int, "batch size",
+                                default_value=128, lower_closed_bound=1),
+            ArgumentDescription("optimizer", str, "optimizer name",
+                                default_value="adam",
+                                legal_value_list=optimizer_name_list),
+            ArgumentDescription("lr", float, "learning rate",
+                                default_value=1e-3, lower_open_bound=0),
+            ArgumentDescription("l2", float, "weight decay",
+                                default_value=0.0, lower_closed_bound=0),
+            ArgumentDescription("loss", str, "loss name", default_value="bce",
+                                legal_value_list=loss_name_list),
+            ArgumentDescription("dev_freq", int, "dev-eval cadence (epochs)",
+                                default_value=1, lower_closed_bound=1),
+            ArgumentDescription("patience", int, "early-stop patience",
+                                default_value=10, lower_closed_bound=0),
+        ]
+
+    @classmethod
+    def check_argument_values(cls, arguments):
+        """Validates + normalizes (reference Task.py:80-97: metric-name
+        format check, TrainMode coercion)."""
+        super().check_argument_values(arguments)
+        if isinstance(arguments.get("metrics"), str):
+            arguments["metrics"] = arguments["metrics"].split(",")
+        from pytorchrec_tpu.metric import get_metric
+
+        for name in arguments["metrics"]:
+            get_metric(name)  # raises on malformed names
+        if isinstance(arguments.get("train_mode"), str):
+            arguments["train_mode"] = TrainMode(arguments["train_mode"])
+
     def __init__(
         self,
         data_reader: DataReader,

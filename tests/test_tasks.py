@@ -127,3 +127,43 @@ def test_cli_rejects_unknown_model(dataset_dir):
 
     with pytest.raises(SystemExit):
         main(["--model_name", "nope", "--dataset", DATASET])
+
+
+def test_task_argument_descriptions():
+    from pytorchrec_tpu.tasks import Task
+
+    descriptions = {d.name: d for d in Task.get_argument_descriptions()}
+    # the reference's declared hyperparameter block (Task.py:33-76)
+    for name in ("debug", "model_name", "random_seed", "metrics", "train_mode",
+                 "epoch", "batch_size", "optimizer", "lr", "l2", "loss", "dev_freq"):
+        assert name in descriptions, name
+
+    args = {"model_name": "funksvd", "metrics": "ndcg@10,hit@5",
+            "train_mode": "pair_wise"}
+    Task.check_argument_values(args)
+    assert args["metrics"] == ["ndcg@10", "hit@5"]
+    from pytorchrec_tpu.data.schema import TrainMode as TM
+    assert args["train_mode"] == TM.PAIR_WISE
+    assert args["epoch"] == 100  # default filled
+
+    with pytest.raises(ValueError):
+        Task.check_argument_values({"model_name": "nope", "metrics": "ndcg@10"})
+    with pytest.raises(ValueError):
+        Task.check_argument_values({"model_name": "funksvd", "metrics": "bogus@x"})
+
+
+def test_dataset_adapters(dataset_dir):
+    from pytorchrec_tpu.data.adapter import DevDataset, TestDataset, TrainDataset
+    from pytorchrec_tpu.data import SimpleDataReader, SplitMode, TrainMode
+
+    reader = SimpleDataReader(
+        DATASET, split_mode=SplitMode.LEAVE_K_OUT, warm_n=5, leave_k=1,
+        neg_sample_n=9, train_mode=TrainMode.PAIR_WISE, random_seed=2020,
+    )
+    train, dev, test = TrainDataset(reader), DevDataset(reader), TestDataset(reader)
+    assert len(train) == reader.get_train_dataset_size()
+    assert len(dev) == reader.get_dev_dataset_size()
+    train.train_neg_sample()
+    item = train[0]
+    assert item["iid"].shape == (2,)  # pairwise [pos, neg]
+    assert dev[0]["iid"].shape == (10,)
