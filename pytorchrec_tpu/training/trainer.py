@@ -392,6 +392,27 @@ class Trainer:
         return predictions
 
     # ------------------------------------------------------------------
+    # serving
+    # ------------------------------------------------------------------
+
+    def make_serving_fn(self, donate: bool = False):
+        """Jitted pure scorer ``fn(batch) -> prediction`` over the current
+        params — the deployment artifact (no reference counterpart: the
+        reference serves through the mutable module's predict loop,
+        IModel.py:272-308). Params are closed over as constants-by-reference;
+        export with ``jax.jit(...).lower(batch).compile()`` for AOT."""
+        self._assert_compiled()
+        assert self.state is not None, "init_state()/fit() first"
+        model, params = self.model, self.state.params
+
+        @jax.jit
+        def serve(batch):
+            prediction, _ = model.apply({"params": params}, batch, train=False)
+            return prediction
+
+        return serve
+
+    # ------------------------------------------------------------------
     # weights (reference IModel.py:73-92, 314-321)
     # ------------------------------------------------------------------
 

@@ -161,3 +161,41 @@ def test_sparse_trainer_dcn_with_candidate_mode(dataset_dir):
     h = t.fit(reader, batch_size=32, epochs=2, verbose=0, dev_freq=1)
     assert all(np.isfinite(h.history["loss"]))
     assert np.isfinite(h.history["ndcg@5"][-1])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_sparse_trainer_on_mesh(dataset_dir):
+    """Row-sharded tables + row-sparse updates combined: numerics match the
+    single-device sparse trainer."""
+    from pytorchrec_tpu.feature_column import CategoricalColumnWithIdentity
+    from pytorchrec_tpu.models import FunkSVD
+    from pytorchrec_tpu.parallel import MODEL_AXIS, make_mesh
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+
+    uid = CategoricalColumnWithIdentity(feature_name="uid", category_num=64)
+    iid = CategoricalColumnWithIdentity(feature_name="iid", category_num=128)
+    label = CategoricalColumnWithIdentity(feature_name="label", category_num=2)
+    rng = np.random.default_rng(3)
+    batch = {
+        "uid": rng.integers(0, 64, size=32).astype(np.int32),
+        "iid": rng.integers(0, 128, size=32).astype(np.int32),
+        "label": rng.integers(0, 2, size=32).astype(np.int32),
+    }
+
+    def run(mesh):
+        model = FunkSVD(uid_column=uid, iid_column=iid, label_column=label, emb_size=8)
+        t = SparseEmbeddingTrainer(model, mesh=mesh)
+        t.compile(optimizer="adam", lr=0.05, loss="bce", metrics=("hit@5",))
+        t.init_state(batch, seed=0)
+        for _ in range(3):
+            t._train_step(batch)
+        return t
+
+    single = run(None)
+    sharded = run(make_mesh(data=4, model=2))
+    for a, b in zip(jax.tree_util.tree_leaves(single.state.params),
+                    jax.tree_util.tree_leaves(sharded.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+    # tables landed sharded
+    spec = sharded.state.params["i_embeddings"]["embedding"].sharding.spec
+    assert spec and spec[0] == MODEL_AXIS, spec

@@ -199,3 +199,16 @@ def test_rl_trainer_dqn(dataset_dir):
     assert "ndcg@5" in history.history  # dev eval fired at batches 4 and 8
     logs = trainer.evaluate(reader, split="test", batch_size=16)
     assert "ndcg@5" in logs
+
+
+def test_make_serving_fn(dataset_dir):
+    reader = make_reader()
+    trainer = make_trainer(reader)
+    trainer.fit(reader, batch_size=32, epochs=1, verbose=0, eval_dev=False)
+    serve = trainer.make_serving_fn()
+    batch = reader.get_batch("test", np.arange(8))
+    scores = serve(batch)
+    assert scores.shape == (8, 10)
+    # matches the trainer's own eval path
+    ref, _ = trainer._eval_step(batch)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref), rtol=1e-6)
