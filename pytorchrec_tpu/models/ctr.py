@@ -48,16 +48,33 @@ class _CTRBase(RecModel):
     dense_columns: Sequence[NumericColumn] = ()
     label_column: CategoricalColumnWithIdentity = None
     emb_size: int = 16
+    # one [sum(vocab), E] table indexed by per-field offsets instead of F
+    # separate tables: collapses F gathers (and, under the sparse trainer, F
+    # sorts/dedups/scatters) into ONE of each — the production layout
+    unified_embedding: bool = False
+
+    def _field_offsets(self):
+        sizes = [c.category_num for c in self.sparse_columns]
+        offsets = [0]
+        for size in sizes[:-1]:
+            offsets.append(offsets[-1] + size)
+        return offsets, sum(sizes)
 
     def _build_embeddings(self):
-        self.field_embeddings = [
-            Embedding(c.category_num, self.emb_size, name=f"emb_{c.feature_name}")
-            for c in self.sparse_columns
-        ]
-        self.first_order = [
-            Embedding(c.category_num, 1, name=f"lin_{c.feature_name}")
-            for c in self.sparse_columns
-        ]
+        if self.unified_embedding:
+            offsets, total = self._field_offsets()
+            self._offsets = offsets
+            self.unified_table = Embedding(total, self.emb_size, name="unified_emb")
+            self.unified_lin = Embedding(total, 1, name="unified_lin")
+        else:
+            self.field_embeddings = [
+                Embedding(c.category_num, self.emb_size, name=f"emb_{c.feature_name}")
+                for c in self.sparse_columns
+            ]
+            self.first_order = [
+                Embedding(c.category_num, 1, name=f"lin_{c.feature_name}")
+                for c in self.sparse_columns
+            ]
         if self.dense_columns:
             # one factor vector per dense field, scaled by the value
             self.dense_factors = self.param(
@@ -68,17 +85,43 @@ class _CTRBase(RecModel):
             )
         self.global_bias = self.param("bias", nn.initializers.zeros, ())
 
+    def _embedded_concat(self, sparse) -> jnp.ndarray:
+        """All sparse-field embeddings concatenated: [..., F_sparse * E]."""
+        if self.unified_embedding:
+            vectors = self.unified_table(self._unified_ids(sparse))  # [..., Fs, E]
+            return vectors.reshape(*vectors.shape[:-2], -1)
+        return jnp.concatenate(
+            [emb(ids) for emb, ids in zip(self.field_embeddings, sparse)], axis=-1
+        )
+
+    def _unified_ids(self, sparse) -> jnp.ndarray:
+        """Stack per-field ids with their offsets -> [..., F_sparse]."""
+        return jnp.stack(
+            [ids + off for ids, off in zip(sparse, self._offsets)], axis=-1
+        )
+
     def _field_vectors(self, sparse, dense) -> jnp.ndarray:
         """Embed all fields -> [..., F, E] (sparse then dense fields)."""
-        vectors = [emb(ids) for emb, ids in zip(self.field_embeddings, sparse)]
+        if self.unified_embedding:
+            vectors = [self.unified_table(self._unified_ids(sparse))]  # [..., Fs, E]
+        else:
+            vectors = [
+                jnp.stack([emb(ids) for emb, ids in zip(self.field_embeddings, sparse)],
+                          axis=-2)
+            ]
         for i, values in enumerate(dense):
-            vectors.append(values[..., None] * self.dense_factors[i])
-        return jnp.stack(vectors, axis=-2)
+            vectors.append((values[..., None] * self.dense_factors[i])[..., None, :])
+        return jnp.concatenate(vectors, axis=-2)
 
     def _linear_term(self, sparse, dense) -> jnp.ndarray:
         total = self.global_bias
-        for emb, ids in zip(self.first_order, sparse):
-            total = total + emb(ids)[..., 0]
+        if self.unified_embedding:
+            total = total + jnp.sum(
+                self.unified_lin(self._unified_ids(sparse))[..., 0], axis=-1
+            )
+        else:
+            for emb, ids in zip(self.first_order, sparse):
+                total = total + emb(ids)[..., 0]
         for i, values in enumerate(dense):
             total = total + values * self.dense_linear[i]
         return total
@@ -95,6 +138,18 @@ class _CTRBase(RecModel):
     _uses_field_embeddings = True
 
     def sparse_table_ids(self, batch: Batch):
+        if self.unified_embedding:
+            offsets, _ = self._field_offsets()
+            parts = []
+            for column, off in zip(self.sparse_columns, offsets):
+                ids = column.get_feature_data(batch)
+                if ids is not None:
+                    parts.append((jnp.asarray(ids) + off).reshape(-1))
+            unified = jnp.concatenate(parts) if parts else jnp.zeros((0,), jnp.int32)
+            ids_map = {"unified_lin/embedding": unified}
+            if self._uses_field_embeddings:
+                ids_map["unified_emb/embedding"] = unified
+            return ids_map
         ids_map = {}
         for column in self.sparse_columns:
             ids = column.get_feature_data(batch)
@@ -171,8 +226,7 @@ class DCNv2(_CTRBase):
 
     def __call__(self, batch: Batch, train: bool = False) -> Prediction:
         sparse, dense, candidate_mode = _gather_fields(batch, self.sparse_columns, self.dense_columns)
-        vectors = [emb(ids) for emb, ids in zip(self.field_embeddings, sparse)]
-        x0_parts = [v for v in vectors]
+        x0_parts = [self._embedded_concat(sparse)]
         if dense:
             x0_parts.append(jnp.stack(dense, axis=-1))
         x0 = jnp.concatenate(x0_parts, axis=-1)

@@ -199,3 +199,33 @@ def test_sparse_trainer_on_mesh(dataset_dir):
     # tables landed sharded
     spec = sharded.state.params["i_embeddings"]["embedding"].sharding.spec
     assert spec and spec[0] == MODEL_AXIS, spec
+
+
+def test_unified_embedding_matches_separate_tables(dataset_dir):
+    """unified_embedding=True computes the same function family (same arch,
+    different param layout); smoke: trains + evaluates finitely, and the
+    unified ids place every field in its own offset range."""
+    from pytorchrec_tpu.tasks import build_model, build_reader
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+    from pytorchrec_tpu.data import SplitMode, TrainMode
+
+    reader = build_reader("deepfm", "Synthetic-ML-Sparse",
+                          split_mode=SplitMode.LEAVE_K_OUT, warm_n=5, leave_k=1,
+                          neg_sample_n=9, train_mode=TrainMode.POINT_WISE,
+                          random_seed=2020)
+    model = build_model("deepfm", reader, emb_size=4, layers=(8,),
+                        unified_embedding=True)
+    # exactly two tables under the sparse trainer
+    t = SparseEmbeddingTrainer(model)
+    t.compile(optimizer="adam", lr=0.02, loss="bce", metrics=("ndcg@5",), user_sample_n=10)
+    h = t.fit(reader, batch_size=32, epochs=2, verbose=0, dev_freq=2)
+    assert set(t.state.table_moments) == {"unified_emb/embedding", "unified_lin/embedding"}
+    assert all(np.isfinite(h.history["loss"]))
+    assert np.isfinite(h.history["ndcg@5"][-1])
+
+    # offsets partition the unified id space
+    offsets, total = model._field_offsets()
+    sizes = [c.category_num for c in model.sparse_columns]
+    assert offsets[0] == 0 and total == sum(sizes)
+    for i in range(1, len(offsets)):
+        assert offsets[i] == offsets[i - 1] + sizes[i - 1]
