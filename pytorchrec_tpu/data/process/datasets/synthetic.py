@@ -48,9 +48,16 @@ def generate_synthetic_ml(
     max_interactions: int = 60,
     positive_rate_threshold: int = 4,
     seed: int = 2020,
+    sequential_strength: float = 0.0,
 ) -> str:
     """MovieLens-like dataset: 1-based uid/iid (0 reserved for PAD), rows
-    sorted by (uid, time), label = rate >= threshold."""
+    sorted by (uid, time), label = rate >= threshold.
+
+    ``sequential_strength > 0`` adds a first-order sequential signal: each
+    positive raises the affinity of the previous item's latent neighbors, so
+    session models (GRU4Rec/SASRec/DIN) have order structure to exploit —
+    with 0 the preference is static and only factorization models can win.
+    """
     rng = np.random.default_rng(seed)
 
     uid_rows = []
@@ -64,6 +71,12 @@ def generate_synthetic_ml(
         n = int(rng.integers(min_interactions, max_interactions + 1))
         iids = rng.choice(np.arange(1, n_items + 1), size=n, replace=False)
         affinity = (user_vec[uid] * item_vec[iids]).sum(axis=1)
+        if sequential_strength > 0:
+            # order-dependent term: similarity of each item to its
+            # predecessor's latent vector (first item keeps its base score)
+            prev_sim = np.zeros(n)
+            prev_sim[1:] = (item_vec[iids[1:]] * item_vec[iids[:-1]]).sum(axis=1)
+            affinity = affinity + sequential_strength * prev_sim
         noise = rng.normal(scale=1.0, size=n)
         rates = np.clip(np.round(3 + affinity + noise), 1, 5).astype(np.int64)
         times = np.sort(rng.integers(1_000_000, 2_000_000, size=n))

@@ -212,3 +212,40 @@ def test_make_serving_fn(dataset_dir):
     # matches the trainer's own eval path
     ref, _ = trainer._eval_step(batch)
     np.testing.assert_allclose(np.asarray(scores), np.asarray(ref), rtol=1e-6)
+
+
+def test_rl_target_sync_cadence(dataset_dir):
+    """target := params exactly every update_freq steps (reference
+    IValueRLModel.py:173-175 semantics), in-jit."""
+    import jax
+
+    reader = ValueRLDataReader(
+        DATASET, split_mode=SplitMode.LEAVE_K_OUT, warm_n=5, leave_k=1,
+        neg_sample_n=9, train_mode=TrainMode.POINT_WISE, random_seed=2020,
+        max_state_len=5, use_neg_state=False, rl_sample_len=4,
+    )
+    columns = reader.get_feature_column_dict()
+    qnet = DQNQNet(
+        iid_column=columns[C.IID], state_column=columns[C.POS_STATE],
+        state_len_column=columns[C.POS_STATE_LEN],
+        next_state_column=columns[C.POS_NEXT_STATE],
+        next_state_len_column=columns[C.POS_NEXT_STATE_LEN],
+        rl_sample_column=columns[C.RL_SAMPLE], emb_size=8, hidden_size=8,
+    )
+    model = ValueRLModel(qnet, reward_column=columns[C.RATE], gamma=0.9, update_freq=3)
+    trainer = RLTrainer(model)
+    trainer.compile(optimizer="adam", lr=0.01, loss="mse", metrics=("ndcg@5",),
+                    user_sample_n=10)
+    batch = reader.get_batch("train", np.arange(16))
+    trainer.init_state(batch, seed=0)
+
+    def same(a, b):
+        return all(
+            np.array_equal(np.asarray(x), np.asarray(y))
+            for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+        )
+
+    for step in range(1, 7):
+        trainer._train_step(batch)
+        synced = same(trainer.state.params, trainer.state.target_params)
+        assert synced == (step % 3 == 0), (step, synced)
