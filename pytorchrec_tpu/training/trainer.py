@@ -49,6 +49,11 @@ logger = logging.getLogger(__name__)
 Batch = Dict[str, np.ndarray]
 
 
+def _chain_first(first, iterator):
+    yield first
+    yield from iterator
+
+
 class Trainer:
     """Owns the train state and the jitted step functions for one model."""
 
@@ -332,6 +337,52 @@ class Trainer:
         callbacks.on_train_end()
         return self.history
 
+    def fit_steps(
+        self,
+        batches,
+        steps: int,
+        callbacks: Optional[Union[List[Callback], CallbackList]] = None,
+        verbose: int = 1,
+        log_every: int = 100,
+        seed: int = 2020,
+    ) -> History:
+        """Step-driven training over any batch iterator (e.g. a
+        ``StreamingBatchSource`` for datasets that don't fit in RAM). One
+        "epoch" log entry per ``log_every`` steps."""
+        self._assert_compiled()
+        iterator = iter(batches)
+        if self.state is None:
+            first = next(iterator)
+            self.init_state(first, seed=seed)
+            iterator = _chain_first(first, iterator)
+        if not isinstance(callbacks, CallbackList):
+            callbacks = CallbackList(
+                callbacks, add_history=True, add_progbar=verbose != 0,
+                trainer=self, epochs=(steps + log_every - 1) // log_every,
+                batches=log_every,
+            )
+        self.history = callbacks.history
+        self.stop_training = False
+        callbacks.on_train_begin()
+        window = 0
+        callbacks.on_epoch_begin(window)
+        loss = None
+        for step, batch in enumerate(self._prefetch(iterator)):
+            if step >= steps or self.stop_training:
+                break
+            callbacks.on_train_batch_begin(step)
+            loss = self._train_step(batch)
+            callbacks.on_train_batch_end(step, {"loss": float(loss)})
+            if (step + 1) % log_every == 0:
+                callbacks.on_epoch_end(window, {"loss": float(loss)})
+                window += 1
+                if step + 1 < steps:
+                    callbacks.on_epoch_begin(window)
+        if loss is not None and (steps % log_every) != 0:
+            callbacks.on_epoch_end(window, {"loss": float(loss)})
+        callbacks.on_train_end()
+        return self.history
+
     def _collect_predictions(self, reader: DataReader, split: str, batch_size: int,
                              callbacks: CallbackList, hooks: str):
         """Run eval steps over a split; returns (predictions, targets) numpy.
@@ -349,10 +400,18 @@ class Trainer:
             if target is not None:
                 targets.append(target[:valid])
             on_end(b)
-        predictions = np.asarray(jnp.concatenate(preds, axis=0))
-        target_array = (
-            np.asarray(jnp.concatenate(targets, axis=0)) if targets else None
-        )
+        def to_host(parts):
+            merged = jnp.concatenate(parts, axis=0)
+            if jax.process_count() > 1:
+                # multi-host: gather the globally-sharded predictions so every
+                # host computes identical metrics (SURVEY §5.8 eval recipe)
+                from jax.experimental import multihost_utils
+
+                merged = multihost_utils.process_allgather(merged, tiled=True)
+            return np.asarray(merged)
+
+        predictions = to_host(preds)
+        target_array = to_host(targets) if targets else None
         return predictions, target_array
 
     def evaluate(
