@@ -10,7 +10,7 @@ fixed-length padded id sequence.
 from __future__ import annotations
 
 import os
-from typing import Dict
+
 
 import numpy as np
 

@@ -11,7 +11,6 @@ import jax.numpy as jnp
 from pytorchrec_tpu.feature_column import CategoricalColumnWithIdentity
 from pytorchrec_tpu.models.base import Batch, Prediction, RecModel, label_target, one_hot_first_target
 from pytorchrec_tpu.ops import Embedding
-from pytorchrec_tpu.ops.embedding import normal_init
 
 
 class SVDPP(RecModel):

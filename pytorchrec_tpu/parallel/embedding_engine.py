@@ -24,11 +24,11 @@ carry id 0 and are masked out of the return scatter.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh, PartitionSpec
 
 from pytorchrec_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 

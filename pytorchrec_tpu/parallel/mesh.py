@@ -10,7 +10,7 @@ optional ``model`` axis (embedding-table row sharding).
 from __future__ import annotations
 
 import logging
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -13,7 +13,7 @@ from typing import Any, Dict, List, Optional
 
 import pandas as pd
 
-from pytorchrec_tpu.data.schema import TrainMode
+
 from pytorchrec_tpu.tasks.task import ITask, Task
 from pytorchrec_tpu.utils import constants as C
 
