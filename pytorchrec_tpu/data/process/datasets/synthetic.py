@@ -150,9 +150,25 @@ def generate_synthetic_ctr(
 
     df = pd.DataFrame(data)
     df[C.LABEL] = label
+    # canonical reader-compatible skeleton: synthetic uid/iid/rate/time so the
+    # standard readers (splits, candidate eval, CLI) work on CTR data too
+    n_users = max(2, n_rows // 50)
+    df[C.UID] = (rng.integers(1, n_users + 1, size=n_rows)).astype(np.int32)
+    df[C.IID] = data["c_0"].astype(np.int32) + 1  # reuse field 0 as the "item"
+    df[C.RATE] = df[C.LABEL].astype(np.int32)
+    df[C.TIME] = np.arange(n_rows, dtype=np.int32)
+    df[C.LABEL] = df[C.LABEL].astype(np.int32)
+    df = df.sort_values(by=[C.UID, C.TIME], kind="stable").reset_index(drop=True)
+    base_columns = [C.UID, C.IID, C.RATE, C.LABEL, C.TIME]
+
     out_dir = os.path.join(C.dataset_dir(), dataset_name)
     os.makedirs(out_dir, exist_ok=True)
-    df.to_feather(os.path.join(out_dir, C.INTERACTION_FEATHER))
+    df[base_columns].reset_index(drop=True).to_feather(
+        os.path.join(out_dir, C.BASE_INTERACTION_FEATHER))
+    df.reset_index(drop=True).to_feather(os.path.join(out_dir, C.INTERACTION_FEATHER))
+    item_df = pd.DataFrame({C.IID: np.arange(
+        1, int(df[C.IID].max()) + 1, dtype=np.int32)})
+    item_df.to_feather(os.path.join(out_dir, C.ITEM_FEATHER))
 
     description = DatasetDescription(
         info=f"synthetic criteo-like CTR dataset ({n_rows} rows)",

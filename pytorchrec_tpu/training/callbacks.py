@@ -130,6 +130,17 @@ class CallbackList:
     def append(self, callback: Callback) -> None:
         self.callbacks.append(callback)
 
+    def implements_train_batch_hooks(self) -> bool:
+        """True when any callback overrides a train-batch hook (reference
+        ICallback's ``implements_*_batch_hooks`` introspection,
+        ICallback.py:86-109) — lets the trainer skip the per-batch
+        device->host loss sync when nobody is listening."""
+        return any(
+            type(cb).on_train_batch_begin is not Callback.on_train_batch_begin
+            or type(cb).on_train_batch_end is not Callback.on_train_batch_end
+            for cb in self.callbacks
+        )
+
     def _call(self, hook: str, *args) -> None:
         for cb in self.callbacks:
             getattr(cb, hook)(*args)

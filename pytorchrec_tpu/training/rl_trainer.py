@@ -84,7 +84,7 @@ class RLTrainer(Trainer):
             )
             return new_state, loss
 
-        return self._jit_train_step(train_step)
+        return train_step  # pure; jitted by _get_train_step_fn / scan fusion
 
     def _build_eval_step(self):
         model = self.model
@@ -97,14 +97,7 @@ class RLTrainer(Trainer):
             target = one_hot_first_target(prediction) if prediction.ndim == 2 else None
             return prediction, target
 
-        if self.mesh is None:
-            return jax.jit(eval_step)
-        from pytorchrec_tpu.parallel.mesh import data_sharding
-
-        return jax.jit(
-            eval_step,
-            in_shardings=(self._state_shardings.params, data_sharding(self.mesh)),
-        )
+        return self._jit_eval_step(eval_step)
 
     def fit(
         self,

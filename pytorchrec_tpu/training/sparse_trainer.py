@@ -178,4 +178,4 @@ class SparseEmbeddingTrainer(Trainer):
             )
             return new_state, loss
 
-        return self._jit_train_step(train_step)
+        return train_step  # pure; jitted by _get_train_step_fn / scan fusion

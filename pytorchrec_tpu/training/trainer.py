@@ -57,9 +57,16 @@ def _chain_first(first, iterator):
 class Trainer:
     """Owns the train state and the jitted step functions for one model."""
 
-    def __init__(self, model: RecModel, mesh: Optional[jax.sharding.Mesh] = None):
+    def __init__(self, model: RecModel, mesh: Optional[jax.sharding.Mesh] = None,
+                 packed_transfer: Optional[bool] = None):
         self.model = model
         self.mesh = mesh
+        # pack the ~40 small batch arrays into one int32 + one float32 buffer
+        # per transfer (data/packing.py) — one dispatch instead of 40. Only
+        # for unsharded runs (a packed 1-D buffer can't shard by batch dim).
+        self.packed_transfer = (mesh is None) if packed_transfer is None else packed_transfer
+        self._packer = None
+        self._eval_packer = None
         self.state: Optional[TrainState] = None
         self.best_params = None  # host-side copy (reference IModel.py:314-315)
         self.stop_training = False
@@ -197,13 +204,21 @@ class Trainer:
             )
             return new_state, loss
 
-        return self._jit_train_step(train_step)
+        return train_step  # pure; jitted by _get_train_step_fn / scan fusion
 
     def _jit_train_step(self, train_step):
-        """Single-device: plain jit with donation. Mesh: in/out shardings
-        pin the sharded-state layout; XLA inserts the data-axis grad psum and
-        the model-axis table-gather collectives."""
+        """Single-device: plain jit with donation (optionally over packed
+        buffers, unpacked in-jit). Mesh: in/out shardings pin the
+        sharded-state layout; XLA inserts the data-axis grad psum and the
+        model-axis table-gather collectives."""
         if self.mesh is None:
+            if self.packed_transfer and self._packer is not None:
+                packer = self._packer
+
+                def packed_step(state, ints, floats):
+                    return train_step(state, packer.unpack(ints, floats))
+
+                return jax.jit(packed_step, donate_argnums=0)
             return jax.jit(train_step, donate_argnums=0)
         from pytorchrec_tpu.parallel.mesh import data_sharding, replicated
 
@@ -221,7 +236,17 @@ class Trainer:
         def eval_step(params, batch):
             return model.apply({"params": params}, batch, train=False)
 
+        return self._jit_eval_step(eval_step)
+
+    def _jit_eval_step(self, eval_step):
         if self.mesh is None:
+            if self._use_packing() and self._eval_packer is not None:
+                packer = self._eval_packer
+
+                def packed_eval(params, ints, floats):
+                    return eval_step(params, packer.unpack(ints, floats))
+
+                return jax.jit(packed_eval)
             return jax.jit(eval_step)
         from pytorchrec_tpu.parallel.mesh import data_sharding
 
@@ -230,14 +255,49 @@ class Trainer:
             in_shardings=(self._state_shardings.params, data_sharding(self.mesh)),
         )
 
-    def _train_step(self, batch: Batch) -> float:
+    def _use_packing(self) -> bool:
+        return self.packed_transfer and self.mesh is None
+
+    @staticmethod
+    def _batch_signature(batch: Batch):
+        return tuple(sorted((k, np.asarray(v).shape) for k, v in batch.items()))
+
+    def _ensure_train_packer(self, batch: Batch) -> None:
+        sig = self._batch_signature(batch)
+        if self._packer is None or getattr(self, "_packer_sig", None) != sig:
+            from pytorchrec_tpu.data.packing import BatchPacker
+
+            self._packer = BatchPacker(batch)
+            self._packer_sig = sig
+            self._train_step_fn = None  # retrace for the new layout
+
+    def _train_step(self, batch) -> float:
+        if self._use_packing():
+            if not isinstance(batch, tuple):  # prefetch may pre-pack
+                self._ensure_train_packer(batch)
+                batch = self._packer.pack(batch)
+            if self._train_step_fn is None:
+                self._train_step_fn = self._jit_train_step(self._build_train_step())
+            self.state, loss = self._train_step_fn(self.state, *batch)
+            return loss
         if self._train_step_fn is None:
-            self._train_step_fn = self._build_train_step()
+            self._train_step_fn = self._jit_train_step(self._build_train_step())
         batch = self._put_batch(batch)
         self.state, loss = self._train_step_fn(self.state, batch)
         return loss  # device scalar; converted lazily
 
     def _eval_step(self, batch: Batch):
+        if self._use_packing():
+            sig = self._batch_signature(batch)
+            if self._eval_packer is None or getattr(self, "_eval_sig", None) != sig:
+                from pytorchrec_tpu.data.packing import BatchPacker
+
+                self._eval_packer = BatchPacker(batch)
+                self._eval_sig = sig
+                self._eval_step_fn = None  # retrace with the packed layout
+            if self._eval_step_fn is None:
+                self._eval_step_fn = self._build_eval_step()
+            return self._eval_step_fn(self.state.params, *self._eval_packer.pack(batch))
         if self._eval_step_fn is None:
             self._eval_step_fn = self._build_eval_step()
         return self._eval_step_fn(self.state.params, self._put_batch(batch))
@@ -257,9 +317,19 @@ class Trainer:
 
     def _prefetch(self, batches):
         """Wrap a host batch iterator with lookahead device transfer
-        (pytorchrec_tpu/data/prefetch.py — the DataLoader-workers analogue)."""
-        from pytorchrec_tpu.data.prefetch import device_put_prefetch
+        (pytorchrec_tpu/data/prefetch.py — the DataLoader-workers analogue).
+        With packing enabled the prefetch thread also does the packing, so
+        the training thread only dispatches the step."""
+        from pytorchrec_tpu.data.prefetch import device_put_prefetch, prefetch
 
+        if self._use_packing():
+
+            def put(batch):
+                self._ensure_train_packer(batch)
+                ints, floats = self._packer.pack(batch)
+                return (jax.device_put(ints), jax.device_put(floats))
+
+            return prefetch(batches, size=2, transform=put)
         sharding = None
         if self.mesh is not None:
             sharding = jax.sharding.NamedSharding(
@@ -314,13 +384,19 @@ class Trainer:
             if train_mode == TrainMode.PAIR_WISE:
                 reader.train_neg_sample()
             loss = None
+            # skip the per-batch device->host loss sync when no callback
+            # listens (reference implements_*_batch_hooks introspection) —
+            # keeps the dispatch queue full on TPU
+            batch_hooks = callbacks.implements_train_batch_hooks()
             batches = train_batches(reader, batch_size, shuffle_rng, shuffle, drop_last)
             for b, batch in enumerate(self._prefetch(batches)):
-                callbacks.on_train_batch_begin(b)
+                if batch_hooks:
+                    callbacks.on_train_batch_begin(b)
                 loss = self._train_step(batch)
-                callbacks.on_train_batch_end(b, {"loss": float(loss)})
-                if self.stop_training:
-                    break
+                if batch_hooks:
+                    callbacks.on_train_batch_end(b, {"loss": float(loss)})
+                    if self.stop_training:
+                        break
             epoch_logs = {"loss": float(loss)} if loss is not None else {}
 
             if eval_dev and (epoch + 1) % dev_freq == 0 and not self.stop_training:
@@ -337,6 +413,24 @@ class Trainer:
         callbacks.on_train_end()
         return self.history
 
+    def _make_scan_step(self, steps_per_call: int):
+        """Fuse K train steps into one jitted ``lax.scan`` over stacked packed
+        batches — amortizes per-step dispatch (big on remote/tunnel devices,
+        measurable even locally). Packing must be enabled."""
+        assert self._use_packing() and self._packer is not None
+        step_fn = self._build_train_step()
+        packer = self._packer
+
+        def body(state, xs):
+            ints, floats = xs
+            return step_fn(state, packer.unpack(ints, floats))
+
+        def multi_step(state, ints_k, floats_k):
+            state, losses = jax.lax.scan(body, state, (ints_k, floats_k))
+            return state, losses[-1]
+
+        return jax.jit(multi_step, donate_argnums=0)
+
     def fit_steps(
         self,
         batches,
@@ -344,17 +438,25 @@ class Trainer:
         callbacks: Optional[Union[List[Callback], CallbackList]] = None,
         verbose: int = 1,
         log_every: int = 100,
+        steps_per_call: int = 1,
         seed: int = 2020,
     ) -> History:
         """Step-driven training over any batch iterator (e.g. a
         ``StreamingBatchSource`` for datasets that don't fit in RAM). One
-        "epoch" log entry per ``log_every`` steps."""
+        "epoch" log entry per ``log_every`` steps.
+
+        ``steps_per_call > 1`` fuses that many steps into one device call via
+        ``lax.scan`` (requires packed transfer; per-batch callbacks then see
+        only the fused call's final loss)."""
         self._assert_compiled()
         iterator = iter(batches)
         if self.state is None:
             first = next(iterator)
             self.init_state(first, seed=seed)
             iterator = _chain_first(first, iterator)
+        if steps_per_call > 1:
+            return self._fit_steps_fused(iterator, steps, callbacks, verbose,
+                                         log_every, steps_per_call)
         if not isinstance(callbacks, CallbackList):
             callbacks = CallbackList(
                 callbacks, add_history=True, add_progbar=verbose != 0,
@@ -367,18 +469,69 @@ class Trainer:
         window = 0
         callbacks.on_epoch_begin(window)
         loss = None
+        batch_hooks = callbacks.implements_train_batch_hooks()
         for step, batch in enumerate(self._prefetch(iterator)):
             if step >= steps or self.stop_training:
                 break
-            callbacks.on_train_batch_begin(step)
+            if batch_hooks:
+                callbacks.on_train_batch_begin(step)
             loss = self._train_step(batch)
-            callbacks.on_train_batch_end(step, {"loss": float(loss)})
+            if batch_hooks:
+                callbacks.on_train_batch_end(step, {"loss": float(loss)})
             if (step + 1) % log_every == 0:
                 callbacks.on_epoch_end(window, {"loss": float(loss)})
                 window += 1
                 if step + 1 < steps:
                     callbacks.on_epoch_begin(window)
         if loss is not None and (steps % log_every) != 0:
+            callbacks.on_epoch_end(window, {"loss": float(loss)})
+        callbacks.on_train_end()
+        return self.history
+
+    def _fit_steps_fused(self, iterator, steps, callbacks, verbose, log_every,
+                         steps_per_call):
+        assert self._use_packing(), "steps_per_call > 1 requires packed_transfer"
+        if not isinstance(callbacks, CallbackList):
+            callbacks = CallbackList(
+                callbacks, add_history=True, add_progbar=verbose != 0,
+                trainer=self, epochs=(steps + log_every - 1) // log_every,
+                batches=log_every,
+            )
+        self.history = callbacks.history
+        self.stop_training = False
+        callbacks.on_train_begin()
+        window = 0
+        callbacks.on_epoch_begin(window)
+        scan_fn = None
+        loss = None
+        done = 0
+        since_log = 0
+        while done < steps and not self.stop_training:
+            k = min(steps_per_call, steps - done)
+            stack = []
+            for batch in iterator:
+                self._ensure_train_packer(batch)
+                stack.append(self._packer.pack(batch))
+                if len(stack) == k:
+                    break
+            if not stack:
+                break
+            if len(stack) < k or scan_fn is None or k != steps_per_call:
+                scan_fn = self._make_scan_step(len(stack))
+            ints_k = np.stack([s[0] for s in stack])
+            floats_k = np.stack([s[1] for s in stack])
+            self.state, loss = scan_fn(self.state, ints_k, floats_k)
+            done += len(stack)
+            since_log += len(stack)
+            if since_log >= log_every:
+                callbacks.on_epoch_end(window, {"loss": float(loss)})
+                since_log = 0
+                window += 1
+                if done < steps:
+                    callbacks.on_epoch_begin(window)
+            if len(stack) < steps_per_call:
+                scan_fn = None  # tail call used a different K; retrace next time
+        if loss is not None and since_log:
             callbacks.on_epoch_end(window, {"loss": float(loss)})
         callbacks.on_train_end()
         return self.history

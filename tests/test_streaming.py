@@ -98,3 +98,43 @@ def test_fit_steps_streaming_training(shard_dir):
 def test_missing_files_error():
     with pytest.raises(AssertionError):
         StreamingBatchSource("/nonexistent/zzz-*.parquet", batch_size=8)
+
+
+def test_fit_steps_scan_fusion(shard_dir):
+    """steps_per_call > 1: K steps fused into one lax.scan call; same
+    learning trajectory shape, fewer device calls."""
+    from pytorchrec_tpu.feature_column import (
+        CategoricalColumnWithIdentity,
+        NumericColumn,
+    )
+    from pytorchrec_tpu.models import DeepFM
+    from pytorchrec_tpu.training import Trainer
+
+    sparse = (CategoricalColumnWithIdentity(feature_name="c_0", category_num=50),
+              CategoricalColumnWithIdentity(feature_name="c_1", category_num=80))
+    dense = (NumericColumn(feature_name="d_0"),)
+    label = CategoricalColumnWithIdentity(feature_name="label", category_num=2)
+
+    def run(steps_per_call):
+        model = DeepFM(sparse_columns=sparse, dense_columns=dense,
+                       label_column=label, emb_size=4, layers=(8,))
+        t = Trainer(model)
+        t.compile(optimizer="adam", lr=0.01, loss="bce", metrics=("auc",))
+        source = StreamingBatchSource(
+            os.path.join(shard_dir, "part-*.parquet"), batch_size=128,
+            chunk_rows=500, seed=3, shuffle_files=False,
+        )
+        h = t.fit_steps(source.batches(epochs=None), steps=23, log_every=10,
+                        steps_per_call=steps_per_call, verbose=0)
+        return t, h
+
+    t1, h1 = run(1)
+    t4, h4 = run(4)
+    assert int(t1.state.step) == int(t4.state.step) == 23
+    assert all(np.isfinite(h4.history["loss"]))
+    # same data order (unshuffled files, same seed) -> same final params
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
+                    jax.tree_util.tree_leaves(t4.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
