@@ -52,6 +52,14 @@ class _CTRBase(RecModel):
     # separate tables: collapses F gathers (and, under the sparse trainer, F
     # sorts/dedups/scatters) into ONE of each — the production layout
     unified_embedding: bool = False
+    # int8 rows + per-row f32 scale for the unified table (DLRM-style):
+    # 4x less table HBM; train with QuantizedEmbeddingTrainer (rowwise
+    # adagrad + stochastic-rounding requantize). Requires unified_embedding.
+    quantized_embedding: bool = False
+
+    # batch key carrying externally-gathered (dequantized) rows — the
+    # quantized trainer injects these so gradients flow to f32 row values
+    ROWS_KEY = "__rows__unified"
 
     def _field_offsets(self):
         sizes = [c.category_num for c in self.sparse_columns]
@@ -61,10 +69,31 @@ class _CTRBase(RecModel):
         return offsets, sum(sizes)
 
     def _build_embeddings(self):
+        if self.quantized_embedding:
+            assert self.unified_embedding, "quantized_embedding requires unified_embedding"
         if self.unified_embedding:
             offsets, total = self._field_offsets()
             self._offsets = offsets
-            self.unified_table = Embedding(total, self.emb_size, name="unified_emb")
+            if self.quantized_embedding:
+                from pytorchrec_tpu.ops.kernels.quantize import quantize_rows_xla
+
+                def q_init(rng, shape):
+                    rows = normal_init(rng, shape)
+                    q, _ = quantize_rows_xla(rows)
+                    return q
+
+                def s_init(rng, shape):
+                    rows = normal_init(rng, (shape[0], self.emb_size))
+                    _, scale = quantize_rows_xla(rows)
+                    return scale
+
+                # NOTE: q/scale come from independent inits; exact row values
+                # are re-established by the first quantized update. Kept
+                # simple: tables start near-normal(0, 0.01) either way.
+                self.unified_q = self.param("unified_q", q_init, (total, self.emb_size))
+                self.unified_scale = self.param("unified_scale", s_init, (total,))
+            else:
+                self.unified_table = Embedding(total, self.emb_size, name="unified_emb")
             self.unified_lin = Embedding(total, 1, name="unified_lin")
         else:
             self.field_embeddings = [
@@ -85,10 +114,23 @@ class _CTRBase(RecModel):
             )
         self.global_bias = self.param("bias", nn.initializers.zeros, ())
 
-    def _embedded_concat(self, sparse) -> jnp.ndarray:
+    def _unified_vectors(self, sparse, batch: Batch) -> jnp.ndarray:
+        """[..., Fs, E] from the unified table (f32, quantized, or the
+        trainer-injected external rows)."""
+        ids = self._unified_ids(sparse)
+        rows = batch.get(self.ROWS_KEY) if batch is not None else None
+        if rows is not None:
+            return jnp.reshape(rows, (*ids.shape, self.emb_size))
+        if self.quantized_embedding:
+            from pytorchrec_tpu.ops.kernels.quantize import dequantize_rows
+
+            return dequantize_rows(self.unified_q[ids], self.unified_scale[ids])
+        return self.unified_table(ids)
+
+    def _embedded_concat(self, sparse, batch: Batch = None) -> jnp.ndarray:
         """All sparse-field embeddings concatenated: [..., F_sparse * E]."""
         if self.unified_embedding:
-            vectors = self.unified_table(self._unified_ids(sparse))  # [..., Fs, E]
+            vectors = self._unified_vectors(sparse, batch)  # [..., Fs, E]
             return vectors.reshape(*vectors.shape[:-2], -1)
         return jnp.concatenate(
             [emb(ids) for emb, ids in zip(self.field_embeddings, sparse)], axis=-1
@@ -100,10 +142,10 @@ class _CTRBase(RecModel):
             [ids + off for ids, off in zip(sparse, self._offsets)], axis=-1
         )
 
-    def _field_vectors(self, sparse, dense) -> jnp.ndarray:
+    def _field_vectors(self, sparse, dense, batch: Batch = None) -> jnp.ndarray:
         """Embed all fields -> [..., F, E] (sparse then dense fields)."""
         if self.unified_embedding:
-            vectors = [self.unified_table(self._unified_ids(sparse))]  # [..., Fs, E]
+            vectors = [self._unified_vectors(sparse, batch)]  # [..., Fs, E]
         else:
             vectors = [
                 jnp.stack([emb(ids) for emb, ids in zip(self.field_embeddings, sparse)],
@@ -136,6 +178,20 @@ class _CTRBase(RecModel):
     # only materialized by models that call _field_vectors; the trainer
     # filters paths against the real param tree.
     _uses_field_embeddings = True
+
+    def quantized_table_spec(self, batch: Batch):
+        """Quantized-trainer protocol (training/quantized_trainer.py)."""
+        assert self.quantized_embedding
+        sparse, _, _ = _gather_fields(batch, self.sparse_columns, self.dense_columns)
+        offsets, _ = self._field_offsets()
+        ids = jnp.stack([jnp.asarray(i) + off for i, off in zip(sparse, offsets)],
+                        axis=-1)
+        return {
+            "unified": {
+                "q": "unified_q", "scale": "unified_scale",
+                "ids": ids, "rows_key": self.ROWS_KEY,
+            }
+        }
 
     def sparse_table_ids(self, batch: Batch):
         if self.unified_embedding:
@@ -183,7 +239,7 @@ class FM(_CTRBase):
 
     def __call__(self, batch: Batch, train: bool = False) -> Prediction:
         sparse, dense, candidate_mode = _gather_fields(batch, self.sparse_columns, self.dense_columns)
-        vectors = self._field_vectors(sparse, dense)
+        vectors = self._field_vectors(sparse, dense, batch)
         prediction = self._linear_term(sparse, dense) + fm_interaction(vectors)
         return self._finish(prediction, candidate_mode, batch)
 
@@ -202,7 +258,7 @@ class DeepFM(_CTRBase):
 
     def __call__(self, batch: Batch, train: bool = False) -> Prediction:
         sparse, dense, candidate_mode = _gather_fields(batch, self.sparse_columns, self.dense_columns)
-        vectors = self._field_vectors(sparse, dense)  # [..., F, E]
+        vectors = self._field_vectors(sparse, dense, batch)  # [..., F, E]
         fm_term = self._linear_term(sparse, dense) + fm_interaction(vectors)
         flat = vectors.reshape(*vectors.shape[:-2], -1)  # [..., F*E]
         deep_term = self.deep_head(self.deep(flat, train=train))[..., 0]
@@ -226,7 +282,7 @@ class DCNv2(_CTRBase):
 
     def __call__(self, batch: Batch, train: bool = False) -> Prediction:
         sparse, dense, candidate_mode = _gather_fields(batch, self.sparse_columns, self.dense_columns)
-        x0_parts = [self._embedded_concat(sparse)]
+        x0_parts = [self._embedded_concat(sparse, batch)]
         if dense:
             x0_parts.append(jnp.stack(dense, axis=-1))
         x0 = jnp.concatenate(x0_parts, axis=-1)

@@ -1,0 +1,90 @@
+"""Row-quantization kernels: f32 rows -> int8 + per-row scale.
+
+The storage format for quantized embedding tables
+(ops/quantized_embedding.py): each row keeps ``int8 values * scale`` with
+``scale = absmax / 127``. Updates re-quantize with STOCHASTIC rounding
+(Pallas PRNG + ``pltpu.stochastic_round`` pattern from the TPU kernel
+guide) so repeated small updates don't vanish — deterministic rounding
+would swallow any delta below scale/2.
+
+XLA twins are provided for CPU/test paths; the Pallas kernel engages on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_ROWS = 256
+
+
+def quantize_rows_xla(rows: jnp.ndarray,
+                      rng_bits: jnp.ndarray = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[N, E] f32 -> ([N, E] int8, [N] f32 scale). ``rng_bits`` (uint32,
+    same shape) enables stochastic rounding; None = round-to-nearest."""
+    absmax = jnp.max(jnp.abs(rows), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    scaled = rows / scale[:, None]
+    if rng_bits is None:
+        q = jnp.rint(scaled)
+    else:
+        # stochastic: floor(x + u), u ~ U[0,1)
+        u = (rng_bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+        q = jnp.floor(scaled + u)
+    q = jnp.clip(q, -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_rows(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """([..., E] int8, [...] f32) -> [..., E] f32."""
+    return q.astype(jnp.float32) * scale[..., None]
+
+
+def _quantize_kernel(rows_ref, bits_ref, q_ref, scale_ref):
+    rows = rows_ref[:]  # [Rb, E]
+    absmax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)  # [Rb, 1]
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    scaled = rows / scale
+    u = (bits_ref[:] >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+    q = jnp.clip(jnp.floor(scaled + u), -127, 127)
+    q_ref[:] = q.astype(jnp.int8)
+    scale_ref[:] = scale
+
+
+def quantize_rows_pallas(rows: jnp.ndarray, rng_bits: jnp.ndarray,
+                         block_rows: int = DEFAULT_BLOCK_ROWS,
+                         interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused absmax + scale + stochastic round in one VMEM pass.
+
+    ``rng_bits``: uint32, same shape as rows (e.g. ``jax.random.bits``).
+    Identical math to ``quantize_rows_xla(rows, rng_bits)``.
+    """
+    n, e = rows.shape
+    pad = (-n) % block_rows
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+        rng_bits = jnp.pad(rng_bits, ((0, pad), (0, 0)))
+    np_rows = rows.shape[0]
+    space = pl.ANY if interpret else pltpu.VMEM
+    q, scale = pl.pallas_call(
+        _quantize_kernel,
+        grid=(np_rows // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, e), lambda i: (i, 0), memory_space=space),
+            pl.BlockSpec((block_rows, e), lambda i: (i, 0), memory_space=space),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, e), lambda i: (i, 0), memory_space=space),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=space),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_rows, e), jnp.int8),
+            jax.ShapeDtypeStruct((np_rows, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(rows, rng_bits)
+    return q[:n], scale[:n, 0]

@@ -1,0 +1,174 @@
+"""Quantized-embedding trainer: int8 tables, rowwise Adagrad, stochastic
+requantization.
+
+DLRM-grade memory/bandwidth recipe: table rows live as ``int8 * f32-scale``
+(4x smaller than f32), optimizer state is ONE f32 accumulator per row
+(rowwise Adagrad — vs 2 full f32 moment tables for Adam), and updates
+re-quantize with stochastic rounding so sub-scale deltas survive in
+expectation (ops/kernels/quantize.py).
+
+Step anatomy (one jit, donated):
+  1. gather + dequantize the batch's rows (stop-gradient);
+  2. run the model with the rows injected through the batch dict
+     (``model.ROWS_KEY``) so ``d(loss)/d(rows)`` is exact while the int8
+     leaves receive no gradient;
+  3. dense params (incl. the f32 linear table) update via masked optax;
+  4. dedup row grads, rowwise-Adagrad in f32, stochastically requantize the
+     new rows, scatter int8/scale/accumulator.
+
+Models opt in with ``quantized_table_spec(batch)`` (the CTR family with
+``quantized_embedding=True`` does).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+from pytorchrec_tpu.ops.kernels.quantize import dequantize_rows, quantize_rows_xla
+from pytorchrec_tpu.ops.sparse_update import dedup_row_grads
+from pytorchrec_tpu.training.state import TrainState
+from pytorchrec_tpu.training.trainer import Trainer
+
+logger = logging.getLogger(__name__)
+
+
+@flax.struct.dataclass
+class QuantizedTrainState(TrainState):
+    table_acc: Dict[str, jnp.ndarray] = None  # rowwise adagrad accumulators [V]
+
+
+def _flatten(params):
+    return traverse_util.flatten_dict(params, sep="/")
+
+
+def _unflatten(flat):
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
+class QuantizedEmbeddingTrainer(Trainer):
+    def __init__(self, model, mesh=None, table_eps: float = 1e-6):
+        assert hasattr(model, "quantized_table_spec"), (
+            f"{type(model).__name__} does not implement quantized_table_spec()"
+        )
+        super().__init__(model, mesh=mesh)
+        self.table_eps = table_eps
+        self._table_lr = None
+
+    def compile(self, *args, lr: float = 1e-3, **kwargs):
+        super().compile(*args, lr=lr, **kwargs)
+        self._table_lr = lr
+
+    def _make_state(self, sample_batch, seed) -> QuantizedTrainState:
+        root = jax.random.PRNGKey(seed)
+        init_rng, state_rng = jax.random.split(root)
+        variables = self.model.init(
+            {"params": init_rng, "dropout": init_rng}, sample_batch, train=False
+        )
+        params = variables["params"]
+        flat = _flatten(params)
+
+        spec = self.model.quantized_table_spec(sample_batch)
+        quantized_leaves = set()
+        acc = {}
+        for name, table in spec.items():
+            assert table["q"] in flat and table["scale"] in flat, (table, list(flat))
+            quantized_leaves |= {table["q"], table["scale"]}
+            acc[name] = jnp.zeros(flat[table["q"]].shape[0], jnp.float32)
+
+        import optax
+
+        mask = _unflatten({k: k not in quantized_leaves for k in flat})
+        self._dense_tx = optax.masked(self.tx, mask)
+        return QuantizedTrainState(
+            params=params,
+            opt_state=self._dense_tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=state_rng,
+            table_acc=acc,
+        )
+
+    def _build_train_step(self):
+        model, loss_fn = self.model, self.loss_fn
+        table_lr, eps = self._table_lr, self.table_eps
+        dense_tx = self._dense_tx
+
+        def train_step(state: QuantizedTrainState, batch):
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            spec = model.quantized_table_spec(batch)
+            flat_params = _flatten(state.params)
+
+            rows_in = {}
+            ids_map = {}
+            for name, table in spec.items():
+                ids = jnp.asarray(table["ids"]).reshape(-1).astype(jnp.int32)
+                ids_map[name] = ids
+                q = jax.lax.stop_gradient(flat_params[table["q"]])
+                s = jax.lax.stop_gradient(flat_params[table["scale"]])
+                rows_in[name] = dequantize_rows(q[ids], s[ids])
+
+            def compute_loss(params, rows):
+                patched_batch = dict(batch)
+                for name, table in spec.items():
+                    patched_batch[table["rows_key"]] = rows[name]
+                prediction, target = model.apply(
+                    {"params": params}, patched_batch, train=True,
+                    rngs={"dropout": step_rng},
+                )
+                return loss_fn(prediction, target)
+
+            # allow_int: the int8/scale leaves ride inside params but get no
+            # gradient (they're stop-gradient'd; their float0 grads are
+            # masked out of the dense optimizer)
+            loss, (dense_grads, row_grads) = jax.value_and_grad(
+                compute_loss, argnums=(0, 1), allow_int=True
+            )(state.params, rows_in)
+
+            updates, opt_state = dense_tx.update(
+                dense_grads, state.opt_state, state.params
+            )
+            # int8/scale leaves carry float0 "updates" (masked out) — skip them
+            params = jax.tree_util.tree_map(
+                lambda p, u: p if u.dtype == jax.dtypes.float0 else p + u,
+                state.params, updates,
+            )
+
+            step = state.step + 1
+            flat = dict(_flatten(params))
+            acc_out = dict(state.table_acc)
+            for name, table in spec.items():
+                g = dedup_row_grads(ids_map[name], row_grads[name])
+                mask2 = g.mask[:, None]
+                acc_rows = acc_out[name][g.ids]
+                acc_new = acc_rows + jnp.mean(jnp.square(g.rows), axis=-1)
+                delta = table_lr * g.rows / (jnp.sqrt(acc_new)[:, None] + eps)
+
+                q, s = flat[table["q"]], flat[table["scale"]]
+                current = dequantize_rows(q[g.ids], s[g.ids])
+                new_rows = current - delta
+                bits = jax.random.bits(
+                    jax.random.fold_in(step_rng, 1), new_rows.shape, jnp.uint32
+                )
+                q_new, s_new = quantize_rows_xla(new_rows, rng_bits=bits)
+                flat[table["q"]] = q.at[g.ids].set(
+                    jnp.where(mask2 > 0, q_new, q[g.ids])
+                )
+                flat[table["scale"]] = s.at[g.ids].set(
+                    jnp.where(g.mask > 0, s_new, s[g.ids])
+                )
+                acc_out[name] = acc_out[name].at[g.ids].add(
+                    (acc_new - acc_rows) * g.mask
+                )
+
+            new_state = state.replace(
+                params=_unflatten(flat), opt_state=opt_state, step=step,
+                table_acc=acc_out,
+            )
+            return new_state, loss
+
+        return train_step  # pure; jitted by _get_train_step_fn / scan fusion

@@ -1,0 +1,123 @@
+"""Quantized-embedding tests: row quantization math, stochastic rounding
+unbiasedness, and the int8-table trainer end-to-end."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorchrec_tpu.ops.kernels.quantize import (
+    dequantize_rows,
+    quantize_rows_pallas,
+    quantize_rows_xla,
+)
+
+
+def test_quantize_roundtrip_accuracy():
+    rng = np.random.default_rng(0)
+    rows = jnp.asarray(rng.normal(scale=0.05, size=(64, 16)), jnp.float32)
+    q, scale = quantize_rows_xla(rows)
+    assert q.dtype == jnp.int8 and scale.shape == (64,)
+    back = dequantize_rows(q, scale)
+    # max error per element <= scale/2 (round-to-nearest)
+    err = np.abs(np.asarray(back - rows))
+    assert (err <= np.asarray(scale)[:, None] / 2 + 1e-7).all()
+
+
+def test_stochastic_rounding_unbiased():
+    """E[quantized] == exact value for a constant row under stochastic
+    rounding (the property that keeps sub-scale updates alive)."""
+    value = 0.3  # between quantization levels for the chosen scale
+    rows = jnp.full((1, 8), value, jnp.float32)
+    rows = rows.at[0, 0].set(1.27)  # pins absmax -> scale = 0.01
+    key = jax.random.PRNGKey(0)
+    total = np.zeros(8)
+    n = 400
+    for i in range(n):
+        bits = jax.random.bits(jax.random.fold_in(key, i), rows.shape, jnp.uint32)
+        q, s = quantize_rows_xla(rows, rng_bits=bits)
+        total += np.asarray(dequantize_rows(q, s))[0]
+    mean = total / n
+    np.testing.assert_allclose(mean[1:], value, rtol=2e-3)
+
+
+def test_pallas_quantize_bit_identical_to_xla():
+    rng = np.random.default_rng(1)
+    rows = jnp.asarray(rng.normal(scale=0.1, size=(32, 8)), jnp.float32)
+    bits = jax.random.bits(jax.random.PRNGKey(7), rows.shape, jnp.uint32)
+    q_pl, s_pl = quantize_rows_pallas(rows, bits, block_rows=16, interpret=True)
+    q_x, s_x = quantize_rows_xla(rows, rng_bits=bits)
+    np.testing.assert_array_equal(np.asarray(q_pl), np.asarray(q_x))
+    np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_x), rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    from pytorchrec_tpu.data.process.datasets.synthetic import generate_synthetic_ml
+
+    tmp = tmp_path_factory.mktemp("wd")
+    os.environ["PYTORCHREC_TPU_WORK_DIR"] = str(tmp)
+    generate_synthetic_ml("Synthetic-ML-Quant", n_users=60, n_items=150, seed=41)
+    yield str(tmp)
+    os.environ.pop("PYTORCHREC_TPU_WORK_DIR", None)
+
+
+def test_quantized_dcn_trains(dataset_dir):
+    from pytorchrec_tpu.tasks import build_model, build_reader
+    from pytorchrec_tpu.training.quantized_trainer import QuantizedEmbeddingTrainer
+    from pytorchrec_tpu.data import SplitMode, TrainMode
+
+    reader = build_reader("dcn", "Synthetic-ML-Quant",
+                          split_mode=SplitMode.LEAVE_K_OUT, warm_n=5, leave_k=1,
+                          neg_sample_n=9, train_mode=TrainMode.POINT_WISE,
+                          random_seed=2020)
+    model = build_model("dcn", reader, emb_size=8,
+                        unified_embedding=True, quantized_embedding=True)
+    t = QuantizedEmbeddingTrainer(model)
+    t.compile(optimizer="adam", lr=0.05, loss="bce", metrics=("ndcg@5",), user_sample_n=10)
+    h = t.fit(reader, batch_size=32, epochs=3, verbose=0, dev_freq=3)
+    assert all(np.isfinite(h.history["loss"]))
+    assert h.history["loss"][-1] < h.history["loss"][0]
+    assert np.isfinite(h.history["ndcg@5"][-1])
+
+    # tables really are int8 + per-row scale + rowwise accumulator
+    q = t.state.params["unified_q"]
+    scale = t.state.params["unified_scale"]
+    assert q.dtype == jnp.int8 and scale.dtype == jnp.float32
+    assert scale.shape == (q.shape[0],)
+    assert set(t.state.table_acc) == {"unified"}
+    assert t.state.table_acc["unified"].shape == (q.shape[0],)
+    # some rows were touched: accumulator grew somewhere
+    assert float(jnp.max(t.state.table_acc["unified"])) > 0
+
+    # eval path works with quantized gathers (no external rows)
+    logs = t.evaluate(reader, split="test", batch_size=32)
+    assert np.isfinite(logs["ndcg@5"])
+
+
+def test_quantized_quality_close_to_f32(dataset_dir):
+    """Quantized training stays in the same quality ballpark as f32 on the
+    synthetic task (not bit-parity — int8 is lossy by design)."""
+    from pytorchrec_tpu.tasks import build_model, build_reader
+    from pytorchrec_tpu.training import Trainer
+    from pytorchrec_tpu.training.quantized_trainer import QuantizedEmbeddingTrainer
+    from pytorchrec_tpu.data import SplitMode, TrainMode
+
+    def run(quantized):
+        reader = build_reader("fm", "Synthetic-ML-Quant",
+                              split_mode=SplitMode.LEAVE_K_OUT, warm_n=5,
+                              leave_k=1, neg_sample_n=9,
+                              train_mode=TrainMode.POINT_WISE, random_seed=2020)
+        model = build_model("fm", reader, emb_size=8, unified_embedding=True,
+                            quantized_embedding=quantized)
+        t = QuantizedEmbeddingTrainer(model) if quantized else Trainer(model)
+        t.compile(optimizer="adam", lr=0.05, loss="bce", metrics=("hit@5",),
+                  user_sample_n=10)
+        t.fit(reader, batch_size=32, epochs=4, verbose=0, eval_dev=False)
+        return t.evaluate(reader, split="dev", batch_size=32)["hit@5"]
+
+    f32 = run(False)
+    q8 = run(True)
+    assert q8 > 0.5 * f32, (f32, q8)
