@@ -30,19 +30,27 @@ BATCH = 256
 LR = 5e-3
 EMB = 64
 NEG_N = 99
+HIS_LEN = 10
 DATASET = "Parity-ML"
 
+# model name -> (our model_kwargs, our reader extra, reference builder)
+MODELS = ["funksvd", "ncf", "gru4rec"]
 
-def run_ours(seed: int):
+
+def run_ours(model_name: str, seed: int):
     from pytorchrec_tpu.data.schema import SplitMode, TrainMode
     from pytorchrec_tpu.tasks import Task
 
+    reader_kwargs = {"split_mode": SplitMode.LEAVE_K_OUT, "warm_n": 5,
+                     "leave_k": 1, "neg_sample_n": NEG_N, "random_seed": seed}
+    model_kwargs = {"emb_size": EMB}
+    if model_name == "gru4rec":
+        reader_kwargs["max_his_len"] = HIS_LEN
+        model_kwargs["hidden_size"] = EMB
     task = Task.from_config(
-        "funksvd", DATASET,
-        reader_kwargs={"split_mode": SplitMode.LEAVE_K_OUT, "warm_n": 5,
-                       "leave_k": 1, "neg_sample_n": NEG_N,
-                       "random_seed": seed},
-        model_kwargs={"emb_size": EMB},
+        model_name, DATASET,
+        reader_kwargs=reader_kwargs,
+        model_kwargs=model_kwargs,
         random_seed=seed,
         metrics=["ndcg@10", "hit@10"],
         train_mode=TrainMode.PAIR_WISE,
@@ -70,12 +78,13 @@ def _patch_reference_paths(work_dir: str) -> None:
     os.makedirs(rc.MODEL_DIR, exist_ok=True)
 
 
-def run_reference(seed: int):
+def run_reference(model_name: str, seed: int):
     """Train the reference stack, faithfully mirroring Task.run
     (task/Task.py:212-272) minus file artifacts."""
     import torch
 
     from torchrec.data.SimpleDataReader import SimpleDataReader
+    from torchrec.data.HistoryDataReader import HistoryDataReader
     from torchrec.data.adapter.TrainDataset import TrainDataset
     from torchrec.data.adapter.DevDataset import DevDataset
     from torchrec.data.adapter.TestDataset import TestDataset
@@ -84,19 +93,37 @@ def run_reference(seed: int):
     from torchrec.metric.NDCG import NDCG
     from torchrec.metric.Hit import Hit
     from torchrec.model.FunkSVD import FunkSVD
+    from torchrec.model.NCF import NCF
+    from torchrec.model.GRU4Rec import GRU4Rec
     from torchrec.task import TrainMode
-    from torchrec.utils.const import UID, IID, LABEL
+    from torchrec.utils.const import UID, IID, LABEL, POS_HIS, POS_HIS_LEN
 
-    reader = SimpleDataReader(
+    common = dict(
         dataset=DATASET, split_mode=SplitMode.LEAVE_K_OUT, warm_n=5,
         vt_ratio=0.1, leave_k=1, neg_sample_n=NEG_N, load_feature=False,
         append_id=False, train_mode=TrainMode.PAIR_WISE, random_seed=seed,
     )
+    if model_name == "gru4rec":
+        # the reference reader asserts the history npys exist — OUR generator
+        # produced them byte-identically during the build-side run
+        reader = HistoryDataReader(**common, max_his_len=HIS_LEN, use_neg_his=False)
+    else:
+        reader = SimpleDataReader(**common)
     columns = reader.get_feature_column_dict()
-    model = FunkSVD(
-        uid_column=columns[UID], iid_column=columns[IID],
-        label_column=columns[LABEL], emb_size=EMB, random_seed=seed,
-    )
+    if model_name == "funksvd":
+        model = FunkSVD(uid_column=columns[UID], iid_column=columns[IID],
+                        label_column=columns[LABEL], emb_size=EMB,
+                        random_seed=seed)
+    elif model_name == "ncf":
+        model = NCF(uid_column=columns[UID], iid_column=columns[IID],
+                    label_column=columns[LABEL], emb_size=EMB, layers=[EMB],
+                    dropout=0.2, random_seed=seed)
+    else:
+        model = GRU4Rec(iid_column=columns[IID],
+                        his_len_column=columns[POS_HIS_LEN],
+                        his_column=columns[POS_HIS],
+                        label_column=columns[LABEL], emb_size=EMB,
+                        hidden_size=EMB, random_seed=seed)
     metrics = [NDCG(1 + NEG_N, 10), Hit(1 + NEG_N, 10)]
     model.compile(
         optimizer=torch.optim.Adam(model.get_parameters(), lr=LR),
@@ -134,21 +161,27 @@ def main():
         generate_synthetic_ml(DATASET, n_users=500, n_items=1000,
                               min_interactions=30, max_interactions=80, seed=42)
 
-    ours = [run_ours(seed) for seed in SEEDS]
+    models = sys.argv[1:] or MODELS
+    results = {}
+    for model_name in models:
+        results[model_name] = {"ours": [run_ours(model_name, seed) for seed in SEEDS]}
 
     _patch_reference_paths(work_dir)
-    theirs = [run_reference(seed) for seed in SEEDS]
+    for model_name in models:
+        results[model_name]["ref"] = [run_reference(model_name, seed) for seed in SEEDS]
 
     def stats(rows, i):
         vals = np.asarray([r[i] for r in rows])
         return f"{vals.mean():.4f}±{vals.std():.4f}"
 
-    print(f"build     ndcg@10 {stats(ours, 0)}  hit@10 {stats(ours, 1)}")
-    print(f"reference ndcg@10 {stats(theirs, 0)}  hit@10 {stats(theirs, 1)}")
-    diff = abs(np.mean([r[0] for r in ours]) - np.mean([r[0] for r in theirs]))
-    spread = max(np.std([r[0] for r in ours]), np.std([r[0] for r in theirs]))
-    print(f"ndcg@10 mean diff {diff:.4f} vs seed spread {spread:.4f} "
-          f"-> {'PARITY' if diff <= max(2 * spread, 0.01) else 'DIVERGENT'}")
+    for model_name in models:
+        ours, theirs = results[model_name]["ours"], results[model_name]["ref"]
+        print(f"[{model_name}] build     ndcg@10 {stats(ours, 0)}  hit@10 {stats(ours, 1)}")
+        print(f"[{model_name}] reference ndcg@10 {stats(theirs, 0)}  hit@10 {stats(theirs, 1)}")
+        diff = abs(np.mean([r[0] for r in ours]) - np.mean([r[0] for r in theirs]))
+        spread = max(np.std([r[0] for r in ours]), np.std([r[0] for r in theirs]))
+        print(f"[{model_name}] ndcg@10 mean diff {diff:.4f} vs seed spread {spread:.4f} "
+              f"-> {'PARITY' if diff <= max(2 * spread, 0.01) else 'DIVERGENT'}")
 
 
 if __name__ == "__main__":
