@@ -113,6 +113,7 @@ class RLTrainer(Trainer):
         dev_freq: int = 100,
         seed: int = 2020,
         eval_dev: bool = True,
+        scan_batches: int = 1,
     ) -> History:
         """Epoch == one batch (reference IValueRLModel.py:148-182): the loop
         walks the shuffled train stream, re-shuffling (and pairwise
@@ -147,12 +148,52 @@ class RLTrainer(Trainer):
         self.stop_training = False
         callbacks.on_train_begin()
         stream = fresh_stream()
-        for epoch in range(epochs):
-            callbacks.on_epoch_begin(epoch)
+
+        def next_batch():
+            nonlocal stream
             batch = next(stream, None)
             if batch is None:
                 stream = fresh_stream()
                 batch = next(stream)
+            return batch
+
+        if scan_batches > 1:
+            # SURVEY hard part 4: target-net sync + step counting run INSIDE
+            # one scanned device call per dev-eval window — no host sync per
+            # batch. The in-step `step % update_freq` counter keeps the
+            # reference's sync cadence exact across window boundaries.
+            assert self._use_packing(), "scan_batches > 1 requires packed_transfer"
+            scan_fn = None
+            epoch = 0
+            while epoch < epochs and not self.stop_training:
+                k = min(scan_batches, dev_freq - (epoch % dev_freq),
+                        epochs - epoch)
+                stack = []
+                for _ in range(k):
+                    batch = next_batch()
+                    self._ensure_train_packer(batch)
+                    stack.append(self._packer.pack(batch))
+                if scan_fn is None or k != self._last_scan_k:
+                    scan_fn = self._make_scan_step(k)
+                    self._last_scan_k = k
+                ints_k = np.stack([s[0] for s in stack])
+                floats_k = np.stack([s[1] for s in stack])
+                self.state, loss = scan_fn(self.state, ints_k, floats_k)
+                epoch += k
+                epoch_logs: Dict[str, Any] = {"loss": float(loss)}
+                if eval_dev and epoch % dev_freq == 0:
+                    epoch_logs.update(self.evaluate(
+                        reader, split="dev",
+                        batch_size=dev_batch_size or batch_size,
+                        verbose=verbose, callbacks=callbacks,
+                    ))
+                callbacks.on_epoch_end(epoch - 1, epoch_logs)
+            callbacks.on_train_end()
+            return self.history
+
+        for epoch in range(epochs):
+            callbacks.on_epoch_begin(epoch)
+            batch = next_batch()
             loss = self._train_step(batch)
             epoch_logs: Dict[str, Any] = {"loss": float(loss)}
             callbacks.on_train_batch_end(epoch, {"loss": float(loss)})

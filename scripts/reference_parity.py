@@ -34,7 +34,8 @@ HIS_LEN = 10
 DATASET = "Parity-ML"
 
 # model name -> (our model_kwargs, our reader extra, reference builder)
-MODELS = ["funksvd", "ncf", "gru4rec"]
+MODELS = ["funksvd", "ncf", "gru4rec", "sasrec", "svdpp"]
+SVDPP_LIMIT = 64
 
 
 def run_ours(model_name: str, seed: int):
@@ -47,6 +48,11 @@ def run_ours(model_name: str, seed: int):
     if model_name == "gru4rec":
         reader_kwargs["max_his_len"] = HIS_LEN
         model_kwargs["hidden_size"] = EMB
+    elif model_name == "sasrec":
+        reader_kwargs["max_his_len"] = HIS_LEN
+        model_kwargs.update(max_his_len=HIS_LEN, num_layers=1, dropout=0.2)
+    elif model_name == "svdpp":
+        reader_kwargs["limit"] = SVDPP_LIMIT
     task = Task.from_config(
         model_name, DATASET,
         reader_kwargs=reader_kwargs,
@@ -85,6 +91,7 @@ def run_reference(model_name: str, seed: int):
 
     from torchrec.data.SimpleDataReader import SimpleDataReader
     from torchrec.data.HistoryDataReader import HistoryDataReader
+    from torchrec.data.SVDPPDataReader import SVDPPDataReader
     from torchrec.data.adapter.TrainDataset import TrainDataset
     from torchrec.data.adapter.DevDataset import DevDataset
     from torchrec.data.adapter.TestDataset import TestDataset
@@ -95,18 +102,22 @@ def run_reference(model_name: str, seed: int):
     from torchrec.model.FunkSVD import FunkSVD
     from torchrec.model.NCF import NCF
     from torchrec.model.GRU4Rec import GRU4Rec
+    from torchrec.model.SASRec import SASRec
+    from torchrec.model.SVDPP import SVDPP
     from torchrec.task import TrainMode
-    from torchrec.utils.const import UID, IID, LABEL, POS_HIS, POS_HIS_LEN
+    from torchrec.utils.const import UID, IID, IIDS, LABEL, POS_HIS, POS_HIS_LEN
 
     common = dict(
         dataset=DATASET, split_mode=SplitMode.LEAVE_K_OUT, warm_n=5,
         vt_ratio=0.1, leave_k=1, neg_sample_n=NEG_N, load_feature=False,
         append_id=False, train_mode=TrainMode.PAIR_WISE, random_seed=seed,
     )
-    if model_name == "gru4rec":
+    if model_name in ("gru4rec", "sasrec"):
         # the reference reader asserts the history npys exist — OUR generator
         # produced them byte-identically during the build-side run
         reader = HistoryDataReader(**common, max_his_len=HIS_LEN, use_neg_his=False)
+    elif model_name == "svdpp":
+        reader = SVDPPDataReader(**common, limit=SVDPP_LIMIT)
     else:
         reader = SimpleDataReader(**common)
     columns = reader.get_feature_column_dict()
@@ -118,6 +129,17 @@ def run_reference(model_name: str, seed: int):
         model = NCF(uid_column=columns[UID], iid_column=columns[IID],
                     label_column=columns[LABEL], emb_size=EMB, layers=[EMB],
                     dropout=0.2, random_seed=seed)
+    elif model_name == "sasrec":
+        model = SASRec(iid_column=columns[IID],
+                       his_len_column=columns[POS_HIS_LEN],
+                       his_column=columns[POS_HIS],
+                       label_column=columns[LABEL], emb_size=EMB,
+                       hidden_size=EMB, max_his_len=HIS_LEN, num_layers=1,
+                       dropout=0.2, random_seed=seed)
+    elif model_name == "svdpp":
+        model = SVDPP(uid_column=columns[UID], iid_column=columns[IID],
+                      iids_column=columns[IIDS], label_column=columns[LABEL],
+                      emb_size=EMB, random_seed=seed)
     else:
         model = GRU4Rec(iid_column=columns[IID],
                         his_len_column=columns[POS_HIS_LEN],

@@ -249,3 +249,43 @@ def test_rl_target_sync_cadence(dataset_dir):
         trainer._train_step(batch)
         synced = same(trainer.state.params, trainer.state.target_params)
         assert synced == (step % 3 == 0), (step, synced)
+
+
+def test_rl_scan_batches_matches_per_batch(dataset_dir):
+    """scan_batches: fused RL windows produce the same params as per-batch
+    dispatch (target sync cadence preserved inside the scan)."""
+    import jax
+
+    def run(scan_batches):
+        reader = ValueRLDataReader(
+            DATASET, split_mode=SplitMode.LEAVE_K_OUT, warm_n=5, leave_k=1,
+            neg_sample_n=9, train_mode=TrainMode.POINT_WISE, random_seed=2020,
+            max_state_len=5, use_neg_state=False, rl_sample_len=4,
+        )
+        columns = reader.get_feature_column_dict()
+        qnet = DQNQNet(
+            iid_column=columns[C.IID], state_column=columns[C.POS_STATE],
+            state_len_column=columns[C.POS_STATE_LEN],
+            next_state_column=columns[C.POS_NEXT_STATE],
+            next_state_len_column=columns[C.POS_NEXT_STATE_LEN],
+            rl_sample_column=columns[C.RL_SAMPLE], emb_size=8, hidden_size=8,
+        )
+        model = ValueRLModel(qnet, reward_column=columns[C.RATE], gamma=0.9,
+                             update_freq=3)
+        trainer = RLTrainer(model)
+        trainer.compile(optimizer="adam", lr=0.01, loss="mse",
+                        metrics=("ndcg@5",), user_sample_n=10)
+        trainer.fit(reader, batch_size=16, epochs=8, verbose=0, dev_freq=4,
+                    seed=3, scan_batches=scan_batches)
+        return trainer
+
+    t1 = run(1)
+    t4 = run(4)
+    assert int(t1.state.step) == int(t4.state.step) == 8
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
+                    jax.tree_util.tree_leaves(t4.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+    # target nets identical too (sync happened inside the scan)
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.target_params),
+                    jax.tree_util.tree_leaves(t4.state.target_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
