@@ -70,7 +70,8 @@ def bench_tpu() -> float:
     # production path: row-sparse lazy-Adam table updates (29% faster than
     # dense Adam on this config — only touched rows move through HBM)
     trainer = SparseEmbeddingTrainer(model)
-    trainer.compile(optimizer="adam", lr=1e-3, loss="bce", metrics=("auc",))
+    trainer.compile(optimizer="adam", lr=1e-3, loss="bce", metrics=("auc",),
+                    matmul_precision="bfloat16")
 
     rng = np.random.default_rng(0)
     batches = [make_host_batch(rng) for _ in range(4)]

@@ -289,3 +289,12 @@ def test_rl_scan_batches_matches_per_batch(dataset_dir):
     for a, b in zip(jax.tree_util.tree_leaves(t1.state.target_params),
                     jax.tree_util.tree_leaves(t4.state.target_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_matmul_precision_option(dataset_dir):
+    reader = make_reader()
+    trainer = make_trainer(reader)
+    trainer.matmul_precision = "bfloat16"
+    h = trainer.fit(reader, batch_size=32, epochs=2, verbose=0, dev_freq=2)
+    assert all(np.isfinite(h.history["loss"]))
+    assert h.history["loss"][-1] < h.history["loss"][0]
