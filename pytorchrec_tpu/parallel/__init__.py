@@ -31,3 +31,19 @@ __all__ = [
     "all_to_all_lookup",
     "make_sharded_lookup",
 ]
+
+from pytorchrec_tpu.parallel.hot_cold import (
+    HotColdLayout,
+    build_layout,
+    hot_cold_lookup,
+    make_hot_cold_lookup,
+    split_table,
+)
+
+__all__ += [
+    "HotColdLayout",
+    "build_layout",
+    "split_table",
+    "hot_cold_lookup",
+    "make_hot_cold_lookup",
+]

@@ -135,3 +135,48 @@ def test_data_parallel_training_parity():
     # eval works on the mesh too
     logs = sharded.evaluate(reader, split="dev", batch_size=32)
     assert np.isfinite(logs["hit@5"])
+
+
+def test_hot_cold_layout_and_lookup():
+    """RecShard-style split: hottest rows replicated, tail sharded; lookup
+    matches a dense gather; gradients flow to both fragments."""
+    from pytorchrec_tpu.parallel.hot_cold import (
+        build_layout,
+        make_hot_cold_lookup,
+        split_table,
+    )
+
+    rng = np.random.default_rng(0)
+    V, E, HOT = 100, 8, 10
+    counts = rng.zipf(1.5, size=V).astype(np.int64)
+    table = rng.normal(size=(V, E)).astype(np.float32)
+    mesh = make_mesh(data=2, model=4)
+
+    layout = build_layout(counts, hot_rows=HOT, pad_cold_to_multiple=4)
+    assert layout.cold_rows % 4 == 0
+    # hottest rows really are the top-counts
+    hot_original = layout.inverse[:HOT]
+    assert set(hot_original.tolist()) == set(np.argsort(-counts, kind="stable")[:HOT].tolist())
+
+    hot, cold = split_table(table, layout)
+    ids = rng.integers(0, V, size=32).astype(np.int32)
+    lookup = make_hot_cold_lookup(mesh)
+    out = lookup(jnp.asarray(hot), jnp.asarray(cold),
+                 jnp.asarray(layout.perm), jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(out), table[ids], rtol=1e-6)
+
+    # gradients: d(sum)/d(hot) and d(sum)/d(cold) land on the looked-up rows
+    def loss(hot, cold):
+        return jnp.sum(lookup(hot, cold, jnp.asarray(layout.perm), jnp.asarray(ids)))
+
+    g_hot, g_cold = jax.grad(loss, argnums=(0, 1))(jnp.asarray(hot), jnp.asarray(cold))
+    packed = layout.perm[ids]
+    exp_hot = np.zeros_like(hot)
+    exp_cold = np.zeros_like(cold)
+    for p in packed:
+        if p < HOT:
+            exp_hot[p] += 1.0
+        else:
+            exp_cold[p - HOT] += 1.0
+    np.testing.assert_allclose(np.asarray(g_hot), exp_hot, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_cold), exp_cold, rtol=1e-6)
