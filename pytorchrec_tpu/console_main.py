@@ -80,7 +80,24 @@ def build_parser() -> argparse.ArgumentParser:
                         help="reader constructor override (repeatable)")
     parser.add_argument("--model", action="append", metavar="K=V",
                         help="model constructor override (repeatable)")
+    parser.add_argument("--grid_model", action="append", metavar="K=V1,V2,...",
+                        help="grid_search: model hyperparameter axis (repeatable)")
+    parser.add_argument("--grid_lr", default=None, metavar="V1,V2,...",
+                        help="grid_search: learning-rate axis")
     return parser
+
+
+def _parse_grid_axis(pair: str):
+    if "=" not in pair:
+        raise SystemExit(f"grid axis {pair!r} must look like key=v1,v2,...")
+    key, raw = pair.split("=", 1)
+    values = []
+    for item in raw.split(","):
+        try:
+            values.append(ast.literal_eval(item))
+        except (ValueError, SyntaxError):
+            values.append(item)
+    return key, values
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -119,9 +136,32 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         task.run()
     elif args.task_name == "grid_search":
-        raise SystemExit(
-            "grid_search needs param lists; use the python API "
-            "(pytorchrec_tpu.tasks.GridSearch + create_params_list)"
+        from pytorchrec_tpu.tasks import GridSearch, create_params_list
+
+        if not args.grid_model and not args.grid_lr:
+            raise SystemExit(
+                "grid_search needs at least one axis: --grid_model k=v1,v2 "
+                "and/or --grid_lr v1,v2"
+            )
+        model_axes = dict(_parse_grid_axis(p) for p in (args.grid_model or []))
+        model_grid = create_params_list(model_kwargs, model_axes)
+        lr_values = (
+            [ast.literal_eval(v) for v in args.grid_lr.split(",")]
+            if args.grid_lr else [args.lr]
+        )
+        optim_grid = create_params_list({}, {"lr": lr_values})
+        task_kwargs.pop("lr", None)
+        task = GridSearch(
+            model_name=args.model_name,
+            dataset=args.dataset,
+            model_params_list=model_grid,
+            optimizer_params_list=optim_grid,
+            reader_kwargs=reader_kwargs,
+            **task_kwargs,
+        )
+        df = task.run()
+        logging.getLogger(__name__).info(
+            "grid search done: %d combos -> %s", len(df), task.log_filename
         )
     else:
         task = Task.from_config(

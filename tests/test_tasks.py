@@ -167,3 +167,29 @@ def test_dataset_adapters(dataset_dir):
     item = train[0]
     assert item["iid"].shape == (2,)  # pairwise [pos, neg]
     assert dev[0]["iid"].shape == (10,)
+
+
+def test_cli_grid_search(dataset_dir):
+    from pytorchrec_tpu.console_main import main
+
+    rc = main([
+        "--task_name", "grid_search",
+        "--model_name", "funksvd",
+        "--dataset", DATASET,
+        "--epoch", "1",
+        "--batch_size", "32",
+        "--metrics", "ndcg@5",
+        "--verbose", "0",
+        "--reader", "neg_sample_n=9",
+        "--grid_model", "emb_size=4,8",
+        "--grid_lr", "0.05",
+    ])
+    assert rc == 0
+    import glob
+
+    from pytorchrec_tpu.utils import constants as C
+
+    tsvs = glob.glob(os.path.join(C.grid_search_dir(), "*grid_search*"))
+    assert tsvs
+    with open(tsvs[0]) as f:
+        assert len(f.read().strip().split("\n")) == 3  # header + 2 combos
