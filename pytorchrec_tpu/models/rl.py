@@ -223,6 +223,34 @@ class ValueRLModel:
         """Candidate scoring for dev/test ranking evaluation."""
         return self.qnet.apply(variables, batch, train=False, method=self.qnet.forward)
 
+    @staticmethod
+    def load_pretrain_embedding(params, weight_file: str,
+                                source_path: str = "i_embeddings/embedding",
+                                target_path: str = "i_embedding/embedding"):
+        """Warm-start the QNet's item table from a pretrained checkpoint
+        (e.g. a FunkSVD run's ``save_weights`` msgpack).
+
+        The reference declares this hook but its body is dead code
+        (DQN.py:89-92: the torch.load logic is commented out, the method is
+        ``pass``); here it works. Returns a new params pytree with the
+        target table replaced (shape-checked).
+        """
+        from flax import serialization, traverse_util
+
+        with open(weight_file, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        source = traverse_util.flatten_dict(raw, sep="/")
+        assert source_path in source, (source_path, sorted(source))
+        table = source[source_path]
+
+        flat = traverse_util.flatten_dict(params, sep="/")
+        assert target_path in flat, (target_path, sorted(flat))
+        assert flat[target_path].shape == table.shape, (
+            flat[target_path].shape, table.shape,
+        )
+        flat[target_path] = jnp.asarray(table)
+        return traverse_util.unflatten_dict(flat, sep="/")
+
 
 def make_deers_qnet(**kwargs) -> BranchQNet:
     return BranchQNet(use_long=False, use_pos=True, use_neg=True, **kwargs)

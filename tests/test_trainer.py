@@ -298,3 +298,44 @@ def test_matmul_precision_option(dataset_dir):
     h = trainer.fit(reader, batch_size=32, epochs=2, verbose=0, dev_freq=2)
     assert all(np.isfinite(h.history["loss"]))
     assert h.history["loss"][-1] < h.history["loss"][0]
+
+
+def test_rl_load_pretrain_embedding(dataset_dir):
+    """Warm-start the DQN item table from a FunkSVD checkpoint (the hook the
+    reference declares but leaves as dead code, DQN.py:89-92)."""
+    # pretrain FunkSVD and save its weights
+    reader = make_reader()
+    pre = make_trainer(reader)
+    pre.fit(reader, batch_size=32, epochs=1, verbose=0, eval_dev=False)
+    path = os.path.join(dataset_dir, "pretrain.msgpack")
+    pre.save_weights(path)
+    pretrained_table = np.asarray(pre.state.params["i_embeddings"]["embedding"])
+
+    # RL model warm-started from it
+    rl_reader = ValueRLDataReader(
+        DATASET, split_mode=SplitMode.LEAVE_K_OUT, warm_n=5, leave_k=1,
+        neg_sample_n=9, train_mode=TrainMode.POINT_WISE, random_seed=2020,
+        max_state_len=5, use_neg_state=False, rl_sample_len=4,
+    )
+    columns = rl_reader.get_feature_column_dict()
+    qnet = DQNQNet(
+        iid_column=columns[C.IID], state_column=columns[C.POS_STATE],
+        state_len_column=columns[C.POS_STATE_LEN],
+        next_state_column=columns[C.POS_NEXT_STATE],
+        next_state_len_column=columns[C.POS_NEXT_STATE_LEN],
+        rl_sample_column=columns[C.RL_SAMPLE], emb_size=8, hidden_size=8,
+    )
+    model = ValueRLModel(qnet, reward_column=columns[C.RATE])
+    trainer = RLTrainer(model)
+    trainer.compile(optimizer="adam", lr=0.01, loss="mse", metrics=("ndcg@5",),
+                    user_sample_n=10)
+    trainer.init_state(rl_reader.get_batch("train", np.arange(4)), seed=0)
+    trainer.state = trainer.state.replace(
+        params=ValueRLModel.load_pretrain_embedding(trainer.state.params, path)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(trainer.state.params["i_embedding"]["embedding"]),
+        pretrained_table,
+    )
+    h = trainer.fit(rl_reader, batch_size=16, epochs=3, verbose=0, eval_dev=False)
+    assert all(np.isfinite(h.history["loss"]))
