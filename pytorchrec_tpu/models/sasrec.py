@@ -26,14 +26,24 @@ class SASRec(RecModel):
     max_his_len: int = 10
     num_layers: int = 1
     dropout: float = 0.2
+    # the reference reuses ONE Q/K/W1/W2/LayerNorm across all layers
+    # (SASRec.py:66-107: single modules applied in the layer loop); set
+    # False for the conventional per-layer parameterization
+    share_layer_weights: bool = True
 
     def setup(self):
         self.i_embeddings = Embedding(self.iid_column.category_num, self.emb_size)
         self.p_embeddings = Embedding(self.max_his_len + 1, self.emb_size)
-        self.blocks = [
-            SASRecBlock(emb_size=self.emb_size, dropout=self.dropout, name=f"block_{i}")
-            for i in range(self.num_layers)
-        ]
+        if self.share_layer_weights:
+            shared = SASRecBlock(emb_size=self.emb_size, dropout=self.dropout,
+                                 name="block_shared")
+            self.blocks = [shared] * self.num_layers
+        else:
+            self.blocks = [
+                SASRecBlock(emb_size=self.emb_size, dropout=self.dropout,
+                            name=f"block_{i}")
+                for i in range(self.num_layers)
+            ]
 
     def __call__(self, batch: Batch, train: bool = False) -> Prediction:
         i_ids = self.iid_column.get_feature_data(batch)  # [B, N]
