@@ -339,3 +339,16 @@ def test_rl_load_pretrain_embedding(dataset_dir):
     )
     h = trainer.fit(rl_reader, batch_size=16, epochs=3, verbose=0, eval_dev=False)
     assert all(np.isfinite(h.history["loss"]))
+
+
+def test_eval_packer_retraces_on_batch_size_change(dataset_dir):
+    """Packed eval must retrace when evaluate() is called with a different
+    batch size (packer layouts are shape-keyed)."""
+    reader = make_reader()
+    trainer = make_trainer(reader)
+    trainer.fit(reader, batch_size=32, epochs=1, verbose=0, eval_dev=False)
+    a = trainer.evaluate(reader, split="dev", batch_size=16)
+    b = trainer.evaluate(reader, split="dev", batch_size=8)
+    c = trainer.evaluate(reader, split="dev", batch_size=16)
+    assert a == c  # deterministic across packer swaps
+    assert set(a) == set(b)
