@@ -45,3 +45,7 @@ __all__ = [
     "prepare_item_data",
     "prepare_interaction_data",
 ]
+
+from pytorchrec_tpu.data.process.datasets.criteo import format_criteo
+
+__all__.append("format_criteo")

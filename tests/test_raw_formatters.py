@@ -193,3 +193,50 @@ def test_xing(raw_dir):
     items_out = _read("XING-T", C.ITEM_FEATHER)
     # NaN lat/long -> 0; 48.2 -> int(138/10)+1 = 14
     assert items_out["i_c_latitude"].tolist() == [14, 0]
+
+
+def test_criteo(raw_dir):
+    from pytorchrec_tpu.data.process.datasets import format_criteo
+    import glob
+
+    d = os.path.join(raw_dir, "criteo")
+    os.makedirs(d)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(500):
+        label = str(rng.integers(0, 2))
+        dense = [str(rng.integers(-1, 100)) if rng.random() > 0.2 else ""
+                 for _ in range(13)]
+        sparse = [format(int(rng.integers(0, 2**32)), "08x") if rng.random() > 0.1 else ""
+                  for _ in range(26)]
+        rows.append("\t".join([label] + dense + sparse))
+    with open(os.path.join(d, "train.txt"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+    out = format_criteo("Criteo-T", "criteo/train.txt", hash_bucket=1000,
+                        rows_per_shard=200, sample_rows=300, chunk_rows=150)
+    shards = sorted(glob.glob(os.path.join(out, "shards", "*.parquet")))
+    assert len(shards) == 2  # chunk-granular flush: 300 + 200 rows
+    df = pd.concat([pd.read_parquet(s) for s in shards], ignore_index=True)
+    assert len(df) == 500
+    assert set(df.columns) == {C.LABEL} | {f"d_{i}" for i in range(13)} | {f"c_{i}" for i in range(26)}
+    assert df["d_0"].dtype == np.float32 and (df["d_0"] >= 0).all()
+    assert df["c_0"].dtype == np.int32
+    assert df["c_0"].between(0, 999).all()
+
+    # canonical sample artifacts exist and load through the reader
+    from pytorchrec_tpu.data import CTRDataReader, SplitMode, TrainMode
+
+    reader = CTRDataReader("Criteo-T", split_mode=SplitMode.SEQUENTIAL_SPLIT,
+                           warm_n=1, vt_ratio=0.1,
+                           train_mode=TrainMode.POINT_WISE, random_seed=1)
+    batch = reader.get_train_batch(np.arange(8))
+    assert "c_0" in batch and "d_0" in batch
+
+    # streaming source consumes the shards
+    from pytorchrec_tpu.data.streaming import StreamingBatchSource
+
+    source = StreamingBatchSource(os.path.join(out, "shards", "part-*.parquet"),
+                                  batch_size=64, chunk_rows=100)
+    first = next(source.batches(epochs=1))
+    assert first["c_0"].shape == (64,)
