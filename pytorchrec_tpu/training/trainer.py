@@ -641,6 +641,28 @@ class Trainer:
 
         return serve
 
+    def export_serving(self, filepath: str, sample_batch: Batch) -> None:
+        """AOT-export the serving function as serialized StableHLO
+        (``jax.export``): a deployment artifact loadable without the model
+        code or parameters — both are baked in. Shapes are fixed to the
+        sample batch's."""
+        from jax import export as jax_export
+
+        serve = self.make_serving_fn()
+        exported = jax_export.export(serve)(sample_batch)
+        os.makedirs(os.path.dirname(filepath) or ".", exist_ok=True)
+        with open(filepath, "wb") as f:
+            f.write(exported.serialize())
+
+    @staticmethod
+    def load_serving(filepath: str):
+        """Load an ``export_serving`` artifact -> callable(batch) -> scores."""
+        from jax import export as jax_export
+
+        with open(filepath, "rb") as f:
+            exported = jax_export.deserialize(bytearray(f.read()))
+        return jax.jit(exported.call)
+
     # ------------------------------------------------------------------
     # weights (reference IModel.py:73-92, 314-321)
     # ------------------------------------------------------------------

@@ -229,3 +229,42 @@ def test_unified_embedding_matches_separate_tables(dataset_dir):
     assert offsets[0] == 0 and total == sum(sizes)
     for i in range(1, len(offsets)):
         assert offsets[i] == offsets[i - 1] + sizes[i - 1]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_sparse_trainer_unified_on_mesh(dataset_dir):
+    """Unified offset-indexed table + row-sharding + sparse updates combined."""
+    from pytorchrec_tpu.feature_column import CategoricalColumnWithIdentity, NumericColumn
+    from pytorchrec_tpu.models import DCNv2
+    from pytorchrec_tpu.parallel import make_mesh
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+
+    # vocabs sum to 96 -> divisible by model axis 2
+    sparse = (CategoricalColumnWithIdentity(feature_name="c_0", category_num=64),
+              CategoricalColumnWithIdentity(feature_name="c_1", category_num=32))
+    dense = (NumericColumn(feature_name="d_0"),)
+    label = CategoricalColumnWithIdentity(feature_name="label", category_num=2)
+    rng = np.random.default_rng(5)
+    batch = {
+        "c_0": rng.integers(0, 64, size=32).astype(np.int32),
+        "c_1": rng.integers(0, 32, size=32).astype(np.int32),
+        "d_0": rng.normal(size=32).astype(np.float32),
+        "label": rng.integers(0, 2, size=32).astype(np.int32),
+    }
+
+    def run(mesh):
+        model = DCNv2(sparse_columns=sparse, dense_columns=dense,
+                      label_column=label, emb_size=4, num_cross_layers=2,
+                      layers=(8,), unified_embedding=True)
+        t = SparseEmbeddingTrainer(model, mesh=mesh)
+        t.compile(optimizer="adam", lr=0.05, loss="bce", metrics=("auc",))
+        t.init_state(batch, seed=0)
+        for _ in range(3):
+            t._train_step(batch)
+        return t
+
+    single = run(None)
+    sharded = run(make_mesh(data=4, model=2))
+    for a, b in zip(jax.tree_util.tree_leaves(single.state.params),
+                    jax.tree_util.tree_leaves(sharded.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)

@@ -352,3 +352,19 @@ def test_eval_packer_retraces_on_batch_size_change(dataset_dir):
     c = trainer.evaluate(reader, split="dev", batch_size=16)
     assert a == c  # deterministic across packer swaps
     assert set(a) == set(b)
+
+
+def test_export_serving_roundtrip(dataset_dir):
+    """AOT serving export: serialized StableHLO artifact reproduces the live
+    scorer without model code or a params file."""
+    reader = make_reader()
+    trainer = make_trainer(reader)
+    trainer.fit(reader, batch_size=32, epochs=1, verbose=0, eval_dev=False)
+    batch = reader.get_batch("test", np.arange(8))
+    live = np.asarray(trainer.make_serving_fn()(batch))
+
+    path = os.path.join(dataset_dir, "serving.stablehlo")
+    trainer.export_serving(path, batch)
+    assert os.path.getsize(path) > 0
+    loaded = Trainer.load_serving(path)
+    np.testing.assert_allclose(np.asarray(loaded(batch)), live, rtol=1e-6)
