@@ -268,3 +268,28 @@ def test_sparse_trainer_unified_on_mesh(dataset_dir):
     for a, b in zip(jax.tree_util.tree_leaves(single.state.params),
                     jax.tree_util.tree_leaves(sharded.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
+def test_sparse_trainer_pairwise_candidates(dataset_dir):
+    """Pairwise training ([B, 2] candidate gathers) through the
+    scatter-patch sparse path."""
+    from pytorchrec_tpu.data import SimpleDataReader, SplitMode, TrainMode
+    from pytorchrec_tpu.models import FunkSVD
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+    from pytorchrec_tpu.utils import constants as C
+
+    reader = SimpleDataReader(
+        "Synthetic-ML-Sparse", split_mode=SplitMode.LEAVE_K_OUT, warm_n=5,
+        leave_k=1, neg_sample_n=9, train_mode=TrainMode.PAIR_WISE,
+        random_seed=2020,
+    )
+    cols = reader.get_feature_column_dict()
+    model = FunkSVD(uid_column=cols[C.UID], iid_column=cols[C.IID],
+                    label_column=cols[C.LABEL], emb_size=8)
+    t = SparseEmbeddingTrainer(model)
+    t.compile(optimizer="adam", lr=0.05, loss="bpr", metrics=("ndcg@5",),
+              user_sample_n=10)
+    h = t.fit(reader, batch_size=32, epochs=3, verbose=0, dev_freq=3)
+    losses = h.history["loss"]
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+    assert np.isfinite(h.history["ndcg@5"][-1])
