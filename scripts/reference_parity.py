@@ -24,7 +24,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SEEDS = [2020, 2021, 2022]
+SEEDS = [2020, 2021, 2022, 2023, 2024]
 EPOCHS = 20
 BATCH = 256
 LR = 5e-3
