@@ -79,6 +79,8 @@ class CrossNetworkV2(nn.Module):
 
     @nn.compact
     def __call__(self, x0: jnp.ndarray) -> jnp.ndarray:
+        if self.num_layers == 0:
+            return x0  # degenerate config: identity (no params)
         dim = x0.shape[-1]
         ws = self.param("ws", normal_init, (self.num_layers, dim, dim))
         bs = self.param("bs", normal_init, (self.num_layers, dim))

@@ -140,3 +140,19 @@ class TestSeqUtils:
         np.testing.assert_array_equal(
             got, [[4, 3, 2, 1, 0], [2, 1, 0, 0, 0], [5, 4, 3, 2, 1]]
         )
+
+
+def test_cross_network_zero_layers_identity():
+    """num_cross_layers=0 must be the identity, not a crash (the fused
+    kernel cannot take a [0, D, D] weight stack)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorchrec_tpu.ops.interactions import CrossNetworkV2
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 8)), jnp.float32)
+    net = CrossNetworkV2(num_layers=0)
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
