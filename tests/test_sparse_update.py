@@ -293,3 +293,38 @@ def test_sparse_trainer_pairwise_candidates(dataset_dir):
     losses = h.history["loss"]
     assert all(np.isfinite(losses)) and losses[-1] < losses[0]
     assert np.isfinite(h.history["ndcg@5"][-1])
+
+
+def test_sparse_first_step_equals_dense_everywhere(dataset_dir):
+    """At step 1 lazy Adam == dense Adam exactly (zero-gradient rows get a
+    zero update in both), so one sparse step must reproduce one dense step
+    on EVERY row — including duplicate-id accumulation in the batch."""
+    from pytorchrec_tpu.feature_column import CategoricalColumnWithIdentity
+    from pytorchrec_tpu.models import FunkSVD
+    from pytorchrec_tpu.training import Trainer
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+
+    uid = CategoricalColumnWithIdentity(feature_name="uid", category_num=30)
+    iid = CategoricalColumnWithIdentity(feature_name="iid", category_num=40)
+    label = CategoricalColumnWithIdentity(feature_name="label", category_num=2)
+    batch = {  # heavy duplicates on purpose
+        "uid": np.asarray([1, 1, 1, 2, 2, 3, 1, 2], np.int32),
+        "iid": np.asarray([5, 5, 7, 5, 9, 7, 5, 9], np.int32),
+        "label": np.asarray([1, 0, 1, 1, 0, 1, 0, 1], np.int32),
+    }
+
+    def one_step(cls):
+        model = FunkSVD(uid_column=uid, iid_column=iid, label_column=label,
+                        emb_size=4)
+        t = cls(model)
+        t.compile(optimizer="adam", lr=0.1, loss="bce", metrics=("hit@5",))
+        t.init_state(batch, seed=0)
+        t._train_step(batch)
+        return t.state.params
+
+    dense = one_step(Trainer)
+    sparse = one_step(SparseEmbeddingTrainer)
+    for a, b in zip(jax.tree_util.tree_leaves(dense),
+                    jax.tree_util.tree_leaves(sparse)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
