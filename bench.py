@@ -30,7 +30,7 @@ MLP_UNITS = (256, 128)
 
 WARMUP_STEPS = 5
 MEASURE_STEPS = 10
-MEASURE_WINDOWS = 4  # best-of-N: the TPU link's latency varies between runs
+MEASURE_WINDOWS = 6  # best-of-N: the TPU link latency varies between runs
 TORCH_MEASURE_STEPS = 5
 
 
