@@ -62,3 +62,24 @@ def test_timer_context():
     with Timer() as t:
         sum(range(1000))
     assert t.elapsed >= 0
+
+
+def test_nan_debugging_toggle():
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from pytorchrec_tpu.utils.profiling import (
+        disable_nan_debugging,
+        enable_nan_debugging,
+    )
+
+    enable_nan_debugging()
+    try:
+        with _pytest.raises(FloatingPointError):
+            jax.jit(lambda x: x / 0.0)(jnp.asarray(0.0)).block_until_ready()
+    finally:
+        disable_nan_debugging()
+    # back off: nan flows silently again
+    out = jax.jit(lambda x: x / 0.0)(jnp.asarray(0.0))
+    assert np.isnan(np.asarray(out))
