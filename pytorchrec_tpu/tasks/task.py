@@ -167,6 +167,12 @@ class Task(ITask):
     def run(self) -> Tuple[int, Dict[str, float], Dict[str, float]]:
         user_sample_n = 1 + self.data_reader.neg_sample_n \
             if self.data_reader.split_mode == SplitMode.LEAVE_K_OUT else 1
+        if user_sample_n == 1 and any("@" in m for m in self.metrics):
+            raise ValueError(
+                "ranking metrics (ndcg@k/hit@k) need candidate lists, which "
+                "only LEAVE_K_OUT provides; with SEQUENTIAL_SPLIT use "
+                "point-wise metrics (auc, logloss)"
+            )
         self.trainer.compile(
             optimizer=self.optimizer,
             loss=self.loss,

@@ -193,3 +193,28 @@ def test_cli_grid_search(dataset_dir):
     assert tsvs
     with open(tsvs[0]) as f:
         assert len(f.read().strip().split("\n")) == 3  # header + 2 combos
+
+
+def test_rank_metrics_rejected_on_sequential_split(dataset_dir):
+    from pytorchrec_tpu.data.schema import SplitMode
+
+    task = Task.from_config(
+        "funksvd", DATASET,
+        reader_kwargs={"split_mode": SplitMode.SEQUENTIAL_SPLIT, "warm_n": 1,
+                       "vt_ratio": 0.1},
+        model_kwargs={"emb_size": 4},
+        metrics=["ndcg@5"], epoch=1, batch_size=32, verbose=0, debug=True,
+    )
+    with pytest.raises(ValueError, match="candidate lists"):
+        task.run()
+
+    # auc works fine on sequential split
+    ok = Task.from_config(
+        "funksvd", DATASET,
+        reader_kwargs={"split_mode": SplitMode.SEQUENTIAL_SPLIT, "warm_n": 1,
+                       "vt_ratio": 0.1},
+        model_kwargs={"emb_size": 4},
+        metrics=["auc"], epoch=1, batch_size=32, verbose=0, debug=True,
+    )
+    _, dev, test = ok.run()
+    assert 0.0 <= test["auc"] <= 1.0
