@@ -218,3 +218,25 @@ def test_rank_metrics_rejected_on_sequential_split(dataset_dir):
     )
     _, dev, test = ok.run()
     assert 0.0 <= test["auc"] <= 1.0
+
+
+def test_cli_repeat_task(dataset_dir):
+    from pytorchrec_tpu.console_main import main
+
+    rc = main([
+        "--task_name", "repeat",
+        "--repeat_num", "2",
+        "--model_name", "funksvd",
+        "--dataset", DATASET,
+        "--epoch", "1",
+        "--batch_size", "32",
+        "--metrics", "ndcg@5",
+        "--verbose", "0",
+        "--reader", "neg_sample_n=9",
+        "--model", "emb_size=4",
+    ])
+    assert rc == 0
+    import glob
+
+    tsvs = glob.glob(os.path.join(C.repeat_task_dir(), "*repeat*"))
+    assert tsvs
