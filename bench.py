@@ -24,7 +24,7 @@ N_DENSE = 13
 N_SPARSE = 26
 VOCAB = 100_000
 EMB = 16
-BATCH = 16384
+BATCH = 32768
 CROSS_LAYERS = 3
 MLP_UNITS = (256, 128)
 
