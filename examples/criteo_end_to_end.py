@@ -80,9 +80,14 @@ def main():
         print(f"synthesizing {args.rows} raw rows ...", flush=True)
         synth_raw_tsv(raw_abs, args.rows)
 
+    # shard sizing that guarantees >= 2 shards even for small --rows
+    # (shards flush at chunk granularity)
+    rows_per_shard = max(args.rows // 4, 1)
     out = format_criteo("Criteo-Demo", raw, hash_bucket=args.hash_bucket,
-                        rows_per_shard=max(args.rows // 8, 50_000))
+                        rows_per_shard=rows_per_shard,
+                        chunk_rows=max(rows_per_shard // 2, 1))
     shards = sorted(os.listdir(os.path.join(out, "shards")))
+    assert len(shards) >= 2, shards
     train_shards = [os.path.join(out, "shards", s) for s in shards[:-1]]
     heldout_shard = os.path.join(out, "shards", shards[-1])
     print(f"{len(shards)} shards; training on {len(train_shards)}, "

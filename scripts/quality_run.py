@@ -30,7 +30,6 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    import numpy as np
 
     from pytorchrec_tpu.data.process.datasets import generate_synthetic_ml
     from pytorchrec_tpu.data.schema import SplitMode, TrainMode
