@@ -446,7 +446,7 @@ class Trainer:
             state, losses = jax.lax.scan(body, state, (ints_k, floats_k))
             return state, losses[-1]
 
-        return jax.jit(multi_step, donate_argnums=0)
+        return jax.jit(self._with_precision(multi_step), donate_argnums=0)
 
     def fit_steps(
         self,
