@@ -166,6 +166,7 @@ class RLTrainer(Trainer):
             scan_fn = None
             epoch = 0
             while epoch < epochs and not self.stop_training:
+                callbacks.on_epoch_begin(epoch)
                 k = min(scan_batches, dev_freq - (epoch % dev_freq),
                         epochs - epoch)
                 stack = []
