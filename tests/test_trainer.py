@@ -281,14 +281,18 @@ def test_rl_scan_batches_matches_per_batch(dataset_dir):
 
     t1 = run(1)
     t4 = run(4)
-    assert int(t1.state.step) == int(t4.state.step) == 8
-    for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
-                    jax.tree_util.tree_leaves(t4.state.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
-    # target nets identical too (sync happened inside the scan)
-    for a, b in zip(jax.tree_util.tree_leaves(t1.state.target_params),
-                    jax.tree_util.tree_leaves(t4.state.target_params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+    # ragged: dev_freq=4 not a multiple of 3 -> windows k=3,1,3,1 (exercises
+    # the min() window shrink and the re-jit on k change)
+    t3 = run(3)
+    assert int(t1.state.step) == int(t4.state.step) == int(t3.state.step) == 8
+    for tN in (t4, t3):
+        for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
+                        jax.tree_util.tree_leaves(tN.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+        # target nets identical too (sync happened inside the scan)
+        for a, b in zip(jax.tree_util.tree_leaves(t1.state.target_params),
+                        jax.tree_util.tree_leaves(tN.state.target_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
 
 
 def test_matmul_precision_option(dataset_dir):
