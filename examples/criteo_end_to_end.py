@@ -52,6 +52,10 @@ def main():
     parser.add_argument("--steps", type=int, default=200)
     parser.add_argument("--batch", type=int, default=8192)
     parser.add_argument("--hash_bucket", type=int, default=100_000)
+    parser.add_argument("--vocab_cap", type=int, default=0,
+                        help="if set, run a frequency-vocab admission pass: "
+                             "top-K ids per feature own slots, the tail "
+                             "shares OOV buckets (tables shrink accordingly)")
     parser.add_argument("--raw", default=None, help="existing raw TSV (skips synthesis)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -93,11 +97,32 @@ def main():
     print(f"{len(shards)} shards; training on {len(train_shards)}, "
           f"holding out {os.path.basename(heldout_shard)}", flush=True)
 
-    sparse = tuple(
-        CategoricalColumnWithIdentity(feature_name=f"c_{i}",
-                                      category_num=args.hash_bucket)
-        for i in range(26)
-    )
+    transform = None
+    if args.vocab_cap:
+        from pytorchrec_tpu.data.vocab import VocabMapper, build_vocabs
+
+        print(f"building frequency vocabs (cap {args.vocab_cap}/feature) ...",
+              flush=True)
+        scan = StreamingBatchSource(train_shards, batch_size=args.batch,
+                                    chunk_rows=65536, shuffle_files=False,
+                                    seed=0)
+        vocabs = build_vocabs(scan.batches(epochs=1),
+                              [f"c_{i}" for i in range(26)],
+                              min_count=2, max_size=args.vocab_cap,
+                              num_oov_buckets=16)
+        cov = np.mean([v.coverage for v in vocabs.values()])
+        rows = sum(v.size for v in vocabs.values())
+        print(f"vocabs: {rows} total rows (vs {26 * args.hash_bucket} "
+              f"uncapped), mean coverage {cov:.4f}", flush=True)
+        transform = VocabMapper(vocabs)
+        sparse = tuple(vocabs[f"c_{i}"].make_column(f"c_{i}")
+                       for i in range(26))
+    else:
+        sparse = tuple(
+            CategoricalColumnWithIdentity(feature_name=f"c_{i}",
+                                          category_num=args.hash_bucket)
+            for i in range(26)
+        )
     dense = tuple(NumericColumn(feature_name=f"d_{i}") for i in range(13))
     label = CategoricalColumnWithIdentity(feature_name="label", category_num=2)
     model = DCNv2(sparse_columns=sparse, dense_columns=dense,
@@ -109,7 +134,8 @@ def main():
 
     timer = StepTimer(batch_size=args.batch)
     source = StreamingBatchSource(train_shards, batch_size=args.batch,
-                                  chunk_rows=65536, seed=1)
+                                  chunk_rows=65536, seed=1,
+                                  transform=transform)
     trainer.fit_steps(source.batches(epochs=None), steps=args.steps,
                       log_every=max(args.steps // 4, 1), verbose=1,
                       callbacks=[timer])
@@ -121,7 +147,8 @@ def main():
     serve = trainer.make_serving_fn()
     auc = AUC()
     heldout = StreamingBatchSource([heldout_shard], batch_size=args.batch,
-                                   chunk_rows=65536, shuffle_files=False, seed=2)
+                                   chunk_rows=65536, shuffle_files=False, seed=2,
+                                   transform=transform)
     scores, labels = [], []
     for i, batch in enumerate(heldout.batches(epochs=1)):
         scores.append(np.asarray(serve(batch)))

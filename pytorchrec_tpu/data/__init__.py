@@ -11,6 +11,7 @@ from pytorchrec_tpu.data.readers import (
     get_data_reader_type,
 )
 from pytorchrec_tpu.data.loader import eval_batches, num_train_batches, train_batches
+from pytorchrec_tpu.data.vocab import FrequencyVocab, VocabMapper, build_vocabs
 
 __all__ = [
     "DatasetDescription",
@@ -28,4 +29,7 @@ __all__ = [
     "train_batches",
     "eval_batches",
     "num_train_batches",
+    "FrequencyVocab",
+    "VocabMapper",
+    "build_vocabs",
 ]

@@ -22,7 +22,7 @@ import glob
 import logging
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -48,6 +48,7 @@ class StreamingBatchSource:
         process_id: int = 0,
         process_count: int = 1,
         queue_depth: int = 4,
+        transform: Optional[Callable[[Batch], Batch]] = None,
     ):
         if isinstance(file_pattern, str):
             files = sorted(glob.glob(file_pattern))
@@ -68,6 +69,9 @@ class StreamingBatchSource:
         self.interleave_files = max(1, interleave_files)
         self.rng = np.random.default_rng(seed + process_id)
         self.queue_depth = queue_depth
+        # per-chunk column transform (e.g. data.vocab.VocabMapper) — runs on
+        # the producer thread, before batching, so batch shapes stay fixed
+        self.transform = transform
 
     # ------------------------------------------------------------------
 
@@ -110,7 +114,10 @@ class StreamingBatchSource:
                     if pending:
                         open_iters.append(self._read_file_chunks(pending.pop()))
                     continue
-                yield self._chunk_to_columns(chunk)
+                columns = self._chunk_to_columns(chunk)
+                if self.transform is not None:
+                    columns = self.transform(columns)
+                yield columns
 
     def batches(self, epochs: Optional[int] = None) -> Iterator[Batch]:
         """Yield fixed-shape batches; ``epochs=None`` streams forever."""

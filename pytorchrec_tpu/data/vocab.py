@@ -1,0 +1,244 @@
+"""Vocabulary management for unbounded sparse features.
+
+No direct reference counterpart (the reference assumes fully-materialised
+contiguous integer ids, e.g. feature_column/CategoricalColumnWithIdentity.py
+built via ``from_series`` over an in-memory dataframe); production CTR
+streams have unbounded raw cardinality, so admission control is required
+before an embedding table can be sized.
+
+TPU-first design: vocabularies are FROZEN on the host before compilation so
+embedding-table shapes stay static — admission/eviction happens in the data
+pipeline, never inside jit (dynamic vocab growth would force recompiles and
+defeat XLA's static-shape tiling onto the MXU).
+
+Slot layout per feature::
+
+    0                          reserved padding / missing
+    1 .. num_oov_buckets       shared OOV buckets (scrambled hash of raw id)
+    num_oov_buckets + 1 ..     admitted ids, ranked by DESCENDING frequency
+
+Frequency-rank slot order is deliberate: the hot prefix of the embedding
+table IS the hot ids, so ``parallel.hot_cold.build_layout`` can replicate
+``table[:H]`` without any extra remapping pass.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Callable, Dict, Iterable, Mapping, Optional, Sequence
+
+import numpy as np
+
+from pytorchrec_tpu.feature_column.categorical import CategoricalColumnWithIdentity
+
+logger = logging.getLogger(__name__)
+
+_CONSOLIDATE_AT = 4_000_000  # pending unique-chunk entries before a merge
+
+
+def _scramble(ids: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — same mixer as the Criteo formatter's hasher
+    (data/process/datasets/criteo.py) so OOV spreading is uniform even for
+    sequential raw ids."""
+    z = ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+class FrequencyVocab:
+    """Frequency-based admission vocabulary with shared OOV buckets.
+
+    Two phases:
+
+    1. **accumulate** — ``update(ids)`` any number of times (streaming over
+       shards); optionally ``decay(factor)`` between windows for a rolling
+       frequency estimate (periodic re-``build`` then evicts ids that went
+       cold — the static-shape analogue of online eviction).
+    2. **freeze** — ``build(min_count=..., max_size=...)`` fixes the id →
+       slot map; ``lookup`` / ``__call__`` then map raw id arrays.
+    """
+
+    def __init__(self, num_oov_buckets: int = 1):
+        assert num_oov_buckets >= 1
+        self.num_oov_buckets = int(num_oov_buckets)
+        self._ids = np.empty(0, np.int64)
+        self._counts = np.empty(0, np.float64)
+        self._pending: list = []
+        self._pending_len = 0
+        # frozen state
+        self._admitted: Optional[np.ndarray] = None  # sorted by raw id
+        self._slots: Optional[np.ndarray] = None     # slot per admitted entry
+
+    # -------------------------------------------------- accumulation
+
+    def update(self, ids: np.ndarray) -> None:
+        ids = np.asarray(ids).reshape(-1)
+        uniq, cnt = np.unique(ids[ids != 0], return_counts=True)
+        if uniq.size:
+            self._pending.append((uniq.astype(np.int64), cnt.astype(np.float64)))
+            self._pending_len += uniq.size
+            if self._pending_len >= _CONSOLIDATE_AT:
+                self._consolidate()
+
+    def decay(self, factor: float) -> None:
+        """Exponential-decay the accumulated counts (rolling window)."""
+        self._consolidate()
+        self._counts *= float(factor)
+
+    def _consolidate(self) -> None:
+        if not self._pending:
+            return
+        all_ids = np.concatenate([self._ids] + [p[0] for p in self._pending])
+        all_cnt = np.concatenate([self._counts] + [p[1] for p in self._pending])
+        order = np.argsort(all_ids, kind="stable")
+        all_ids, all_cnt = all_ids[order], all_cnt[order]
+        uniq, start = np.unique(all_ids, return_index=True)
+        summed = np.add.reduceat(all_cnt, start) if uniq.size else all_cnt
+        self._ids, self._counts = uniq, summed
+        self._pending, self._pending_len = [], 0
+
+    # -------------------------------------------------- freeze
+
+    def build(self, min_count: float = 1.0,
+              max_size: Optional[int] = None) -> "FrequencyVocab":
+        self._consolidate()
+        keep = self._counts >= min_count
+        ids, cnt = self._ids[keep], self._counts[keep]
+        # descending frequency, id ascending as the deterministic tiebreak
+        order = np.lexsort((ids, -cnt))
+        if max_size is not None:
+            order = order[:max_size]
+        ranked = ids[order]  # rank r -> raw id
+        slots = np.arange(ranked.size, dtype=np.int64) + 1 + self.num_oov_buckets
+        by_id = np.argsort(ranked, kind="stable")
+        self._admitted = ranked[by_id]
+        self._slots = slots[by_id]
+        self._admitted_count_total = float(cnt[order].sum())
+        self._observed_count_total = float(self._counts.sum())
+        logger.info("vocab: admitted %d/%d ids (coverage %.4f)",
+                    ranked.size, self._ids.size, self.coverage)
+        return self
+
+    # -------------------------------------------------- frozen queries
+
+    @property
+    def built(self) -> bool:
+        return self._admitted is not None
+
+    @property
+    def size(self) -> int:
+        """Total slot count = table rows needed (pad + OOV + admitted)."""
+        assert self.built
+        return 1 + self.num_oov_buckets + len(self._admitted)
+
+    @property
+    def admitted_size(self) -> int:
+        assert self.built
+        return len(self._admitted)
+
+    @property
+    def coverage(self) -> float:
+        """Fraction of the observed (non-zero) mass mapped to owned slots."""
+        assert self.built
+        if self._observed_count_total == 0:
+            return 1.0
+        return self._admitted_count_total / self._observed_count_total
+
+    def lookup(self, ids: np.ndarray) -> np.ndarray:
+        """Map raw ids -> slots. 0 stays 0; admitted ids get their frequency
+        rank slot; everything else hashes into the shared OOV buckets."""
+        assert self.built, "call build() before lookup()"
+        ids = np.asarray(ids)
+        flat = ids.reshape(-1).astype(np.int64)
+        pos = np.searchsorted(self._admitted, flat)
+        pos_c = np.minimum(pos, len(self._admitted) - 1) if len(self._admitted) \
+            else np.zeros_like(pos)
+        hit = (pos < len(self._admitted)) & (
+            self._admitted[pos_c] == flat) if len(self._admitted) else \
+            np.zeros(flat.shape, bool)
+        oov = (_scramble(flat) % np.uint64(self.num_oov_buckets)).astype(np.int64) + 1
+        out = np.where(hit, self._slots[pos_c] if len(self._admitted) else 0, oov)
+        out = np.where(flat == 0, 0, out)
+        return out.reshape(ids.shape).astype(np.int32)
+
+    __call__ = lookup
+
+    def make_column(self, feature_name: str) -> CategoricalColumnWithIdentity:
+        """A feature column sized to this vocabulary's slot space."""
+        return CategoricalColumnWithIdentity(feature_name=feature_name,
+                                             category_num=self.size)
+
+    # -------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        assert self.built
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez_compressed(
+            path, admitted=self._admitted, slots=self._slots,
+            num_oov_buckets=self.num_oov_buckets,
+            totals=np.array([self._admitted_count_total,
+                             self._observed_count_total]),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FrequencyVocab":
+        with np.load(path) as data:
+            vocab = cls(num_oov_buckets=int(data["num_oov_buckets"]))
+            vocab._admitted = data["admitted"]
+            vocab._slots = data["slots"]
+            totals = data["totals"]
+            vocab._admitted_count_total = float(totals[0])
+            vocab._observed_count_total = float(totals[1])
+        return vocab
+
+
+# ---------------------------------------------------------------------------
+
+
+class VocabMapper:
+    """Apply per-feature vocabularies to batch dicts.
+
+    Usable directly as a ``StreamingBatchSource(transform=...)`` hook —
+    chunks are remapped on the producer thread, so admission costs zero
+    device time. Features without a vocabulary pass through untouched.
+    """
+
+    def __init__(self, vocabs: Mapping[str, FrequencyVocab]):
+        for name, vocab in vocabs.items():
+            assert vocab.built, f"vocab for {name!r} not built"
+        self.vocabs = dict(vocabs)
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        return {
+            name: self.vocabs[name](values) if name in self.vocabs else values
+            for name, values in batch.items()
+        }
+
+    def columns(self) -> Dict[str, CategoricalColumnWithIdentity]:
+        return {name: vocab.make_column(name)
+                for name, vocab in self.vocabs.items()}
+
+
+def build_vocabs(
+    chunks: Iterable[Mapping[str, np.ndarray]],
+    features: Sequence[str],
+    min_count: float = 1.0,
+    max_size: Optional[int] = None,
+    num_oov_buckets: int = 1,
+) -> Dict[str, FrequencyVocab]:
+    """One streaming pass over ``chunks`` -> built vocab per feature.
+
+    ``chunks`` is any iterator of column dicts — e.g.
+    ``StreamingBatchSource(...).batches(epochs=1)`` or a raw shard reader.
+    """
+    vocabs = {name: FrequencyVocab(num_oov_buckets=num_oov_buckets)
+              for name in features}
+    for chunk in chunks:
+        for name in features:
+            if name in chunk:
+                vocabs[name].update(chunk[name])
+    for name in features:
+        vocabs[name].build(min_count=min_count, max_size=max_size)
+    return vocabs

@@ -1,0 +1,171 @@
+"""Vocabulary management: frequency admission, OOV hashing, rolling decay,
+persistence, and the streaming-pipeline integration."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pytorchrec_tpu.data.vocab import FrequencyVocab, VocabMapper, build_vocabs
+
+
+def test_admission_by_min_count_and_rank_order():
+    vocab = FrequencyVocab(num_oov_buckets=2)
+    # id 7 seen 5x, id 3 seen 3x, id 9 seen 1x, plus zeros (ignored)
+    vocab.update(np.array([7, 7, 3, 0, 7, 9, 3, 7, 0, 3, 7]))
+    vocab.build(min_count=2)
+
+    assert vocab.admitted_size == 2          # 9 fell below min_count
+    assert vocab.size == 1 + 2 + 2           # pad + 2 oov + 2 admitted
+    out = vocab(np.array([7, 3, 0]))
+    # frequency rank: 7 (5x) gets the first admitted slot, 3 the second
+    assert out.tolist() == [3, 4, 0]
+    # non-admitted id lands in an OOV bucket slot (1 or 2), deterministically
+    oov = vocab(np.array([9, 9, 12345]))
+    assert oov[0] == oov[1]
+    assert all(1 <= s <= 2 for s in oov)
+    assert 0.0 < vocab.coverage < 1.0
+
+
+def test_max_size_cap_keeps_most_frequent():
+    vocab = FrequencyVocab()
+    ids = np.repeat(np.arange(1, 11), np.arange(1, 11))  # id k seen k times
+    vocab.update(ids)
+    vocab.build(max_size=3)
+    assert vocab.admitted_size == 3
+    # 10, 9, 8 admitted in that rank order (slots 2, 3, 4 with 1 oov bucket)
+    assert vocab(np.array([10, 9, 8])).tolist() == [2, 3, 4]
+    assert vocab(np.array([7]))[0] == 1  # evicted -> the single OOV bucket
+
+
+def test_multi_update_equals_single_update():
+    a, b = FrequencyVocab(), FrequencyVocab()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 500, size=10_000)
+    a.update(ids)
+    for part in np.array_split(ids, 7):
+        b.update(part)
+    a.build(min_count=3)
+    b.build(min_count=3)
+    probe = rng.integers(0, 600, size=1000)
+    np.testing.assert_array_equal(a(probe), b(probe))
+
+
+def test_decay_evicts_cold_ids_on_rebuild():
+    vocab = FrequencyVocab()
+    vocab.update(np.array([1] * 10 + [2] * 10))
+    vocab.decay(0.1)           # both fade to count 1
+    vocab.update(np.array([2] * 9))  # 2 stays hot
+    vocab.build(min_count=5)
+    assert vocab.admitted_size == 1
+    assert vocab(np.array([2]))[0] == 2  # slot after pad+oov
+    assert vocab(np.array([1]))[0] == 1  # evicted -> OOV
+
+
+def test_lookup_shape_dtype_and_empty_vocab():
+    vocab = FrequencyVocab()
+    vocab.update(np.array([5, 5, 5]))
+    vocab.build(min_count=100)   # nothing admitted
+    out = vocab(np.array([[5, 0], [8, 5]]))
+    assert out.shape == (2, 2) and out.dtype == np.int32
+    assert out[0, 1] == 0 and out[0, 0] == 1  # oov bucket, pad preserved
+
+
+def test_save_load_roundtrip(tmp_path):
+    vocab = FrequencyVocab(num_oov_buckets=3)
+    rng = np.random.default_rng(1)
+    vocab.update(rng.integers(1, 200, size=5000))
+    vocab.build(min_count=10)
+    path = os.path.join(tmp_path, "v.npz")
+    vocab.save(path)
+    loaded = FrequencyVocab.load(path)
+    probe = rng.integers(0, 300, size=500)
+    np.testing.assert_array_equal(vocab(probe), loaded(probe))
+    assert loaded.size == vocab.size and loaded.coverage == vocab.coverage
+
+
+def test_mapper_and_column_sizing():
+    vocab = FrequencyVocab()
+    vocab.update(np.array([4, 4, 6]))
+    vocab.build()
+    mapper = VocabMapper({"c": vocab})
+    batch = {"c": np.array([4, 6, 99]), "d": np.array([1.5, 2.5, 3.5])}
+    mapped = mapper(batch)
+    assert mapped["c"].max() < vocab.size
+    np.testing.assert_array_equal(mapped["d"], batch["d"])  # untouched
+    column = mapper.columns()["c"]
+    assert column.category_num == vocab.size
+
+
+def test_streaming_transform_end_to_end(tmp_path):
+    """Shards with huge raw ids -> build_vocabs pass -> mapped stream trains
+    a model whose table is sized by the vocab (the production admission flow)."""
+    import pandas as pd
+
+    from pytorchrec_tpu.data.streaming import StreamingBatchSource
+
+    rng = np.random.default_rng(2)
+    files = []
+    for s in range(3):
+        n = 4096
+        df = pd.DataFrame({
+            # raw ids from a huge sparse space; popularity is zipf-ish
+            "c_0": (rng.zipf(1.5, size=n) * 7919 % 1_000_000_007).astype(np.int64),
+            "d_0": rng.normal(size=n).astype(np.float32),
+            "label": rng.integers(0, 2, size=n).astype(np.int32),
+        })
+        path = os.path.join(tmp_path, f"part-{s}.parquet")
+        df.to_parquet(path)
+        files.append(path)
+
+    scan = StreamingBatchSource(files, batch_size=1024, chunk_rows=2048,
+                                shuffle_files=False, seed=3)
+    vocabs = build_vocabs(scan.batches(epochs=1), ["c_0"], min_count=2,
+                          max_size=500, num_oov_buckets=8)
+    vocab = vocabs["c_0"]
+    assert 0 < vocab.admitted_size <= 500
+
+    mapper = VocabMapper(vocabs)
+    source = StreamingBatchSource(files, batch_size=1024, chunk_rows=2048,
+                                  seed=4, transform=mapper)
+    seen = 0
+    for batch in source.batches(epochs=1):
+        assert batch["c_0"].max() < vocab.size
+        assert batch["c_0"].min() >= 0
+        seen += 1
+    assert seen == (3 * 4096) // 1024
+
+    # table sized by the vocab trains end to end
+    from pytorchrec_tpu.feature_column import NumericColumn
+    from pytorchrec_tpu.models import DeepFM
+    from pytorchrec_tpu.training.trainer import Trainer
+
+    label_col = mapper.columns()["c_0"].__class__(feature_name="label",
+                                                 category_num=2)
+    model = DeepFM(sparse_columns=(mapper.columns()["c_0"],),
+                   dense_columns=(NumericColumn(feature_name="d_0"),),
+                   label_column=label_col, emb_size=4, layers=(8,))
+    trainer = Trainer(model)
+    trainer.compile(optimizer="adam", lr=1e-2, loss="bce")
+    history = trainer.fit_steps(
+        StreamingBatchSource(files, batch_size=1024, chunk_rows=2048, seed=5,
+                             transform=mapper).batches(epochs=None),
+        steps=6, verbose=0)
+    assert np.isfinite(history.history["loss"][-1])
+
+
+def test_streaming_transform_none_is_passthrough(tmp_path):
+    import pandas as pd
+
+    from pytorchrec_tpu.data.streaming import StreamingBatchSource
+
+    df = pd.DataFrame({"x": np.arange(64, dtype=np.int64)})
+    path = os.path.join(tmp_path, "p.parquet")
+    df.to_parquet(path)
+    plain = list(StreamingBatchSource([path], batch_size=32, shuffle_files=False,
+                                      seed=1).batches(epochs=1))
+    ident = list(StreamingBatchSource([path], batch_size=32, shuffle_files=False,
+                                      seed=1, transform=lambda b: b
+                                      ).batches(epochs=1))
+    for a, b in zip(plain, ident):
+        np.testing.assert_array_equal(a["x"], b["x"])
