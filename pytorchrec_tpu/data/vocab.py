@@ -65,6 +65,7 @@ class FrequencyVocab:
         self.num_oov_buckets = int(num_oov_buckets)
         self._ids = np.empty(0, np.int64)
         self._counts = np.empty(0, np.float64)
+        self._zero_count = 0.0
         self._pending: list = []
         self._pending_len = 0
         # frozen state
@@ -75,6 +76,7 @@ class FrequencyVocab:
 
     def update(self, ids: np.ndarray) -> None:
         ids = np.asarray(ids).reshape(-1)
+        self._zero_count += float((ids == 0).sum())
         uniq, cnt = np.unique(ids[ids != 0], return_counts=True)
         if uniq.size:
             self._pending.append((uniq.astype(np.int64), cnt.astype(np.float64)))
@@ -86,6 +88,7 @@ class FrequencyVocab:
         """Exponential-decay the accumulated counts (rolling window)."""
         self._consolidate()
         self._counts *= float(factor)
+        self._zero_count *= float(factor)
 
     def _consolidate(self) -> None:
         if not self._pending:
@@ -115,7 +118,15 @@ class FrequencyVocab:
         by_id = np.argsort(ranked, kind="stable")
         self._admitted = ranked[by_id]
         self._slots = slots[by_id]
-        self._admitted_count_total = float(cnt[order].sum())
+        self._rank_counts = cnt[order].astype(np.float64)  # admitted, hot first
+        # the tail's mass lands where lookup() will send it: its OOV bucket
+        tail = np.isin(self._ids, ranked, invert=True)
+        buckets = (_scramble(self._ids[tail]) %
+                   np.uint64(self.num_oov_buckets)).astype(np.int64)
+        self._oov_counts = np.bincount(buckets, weights=self._counts[tail],
+                                       minlength=self.num_oov_buckets)
+        self._pad_count = self._zero_count
+        self._admitted_count_total = float(self._rank_counts.sum())
         self._observed_count_total = float(self._counts.sum())
         logger.info("vocab: admitted %d/%d ids (coverage %.4f)",
                     ranked.size, self._ids.size, self.coverage)
@@ -165,6 +176,29 @@ class FrequencyVocab:
 
     __call__ = lookup
 
+    def slot_counts(self) -> np.ndarray:
+        """Observed traffic per slot over the full [size] slot space —
+        exactly the ``counts`` input ``parallel.hot_cold.build_layout``
+        expects. Pad traffic is the missing-value mass; each OOV bucket
+        carries the tail mass its hash receives; admitted slots follow in
+        frequency-rank order (so the admitted prefix is already hottest
+        first)."""
+        assert self.built
+        return np.concatenate([[self._pad_count], self._oov_counts,
+                               self._rank_counts])
+
+    def hot_rows(self, mass_fraction: float = 0.9) -> int:
+        """Smallest number of table rows carrying ``mass_fraction`` of the
+        observed lookup traffic — the natural ``hot_rows`` argument for
+        ``parallel.hot_cold.build_layout`` (replicate these, shard the
+        rest)."""
+        counts = np.sort(self.slot_counts())[::-1]
+        total = counts.sum()
+        if total == 0:
+            return 0
+        covered = np.cumsum(counts)
+        return int(np.searchsorted(covered, mass_fraction * total) + 1)
+
     def make_column(self, feature_name: str) -> CategoricalColumnWithIdentity:
         """A feature column sized to this vocabulary's slot space."""
         return CategoricalColumnWithIdentity(feature_name=feature_name,
@@ -179,7 +213,8 @@ class FrequencyVocab:
             path, admitted=self._admitted, slots=self._slots,
             num_oov_buckets=self.num_oov_buckets,
             totals=np.array([self._admitted_count_total,
-                             self._observed_count_total]),
+                             self._observed_count_total, self._pad_count]),
+            rank_counts=self._rank_counts, oov_counts=self._oov_counts,
         )
 
     @classmethod
@@ -191,6 +226,9 @@ class FrequencyVocab:
             totals = data["totals"]
             vocab._admitted_count_total = float(totals[0])
             vocab._observed_count_total = float(totals[1])
+            vocab._pad_count = float(totals[2])
+            vocab._rank_counts = data["rank_counts"]
+            vocab._oov_counts = data["oov_counts"]
         return vocab
 
 

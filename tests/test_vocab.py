@@ -71,6 +71,59 @@ def test_lookup_shape_dtype_and_empty_vocab():
     assert out[0, 1] == 0 and out[0, 0] == 1  # oov bucket, pad preserved
 
 
+def test_slot_counts_conserve_mass_and_hot_rows():
+    vocab = FrequencyVocab(num_oov_buckets=4)
+    rng = np.random.default_rng(5)
+    ids = rng.zipf(1.8, size=20_000).astype(np.int64)
+    ids[rng.random(ids.shape) < 0.05] = 0  # missing values
+    vocab.update(ids)
+    vocab.build(max_size=50)
+
+    counts = vocab.slot_counts()
+    assert counts.shape == (vocab.size,)
+    # every observed lookup lands in exactly one slot: mass is conserved
+    assert counts.sum() == pytest.approx(len(ids))
+    # admitted region is frequency-ranked: non-increasing
+    admitted = counts[1 + vocab.num_oov_buckets:]
+    assert np.all(np.diff(admitted) <= 0)
+
+    # hot_rows: monotone in the mass fraction, exact at the extremes
+    h50, h90, h100 = (vocab.hot_rows(f) for f in (0.5, 0.9, 1.0))
+    assert 1 <= h50 <= h90 <= h100 <= vocab.size
+    assert h100 == int((counts > 0).sum())
+    top = np.sort(counts)[::-1]
+    assert top[:h90].sum() >= 0.9 * counts.sum()
+    assert top[:h90 - 1].sum() < 0.9 * counts.sum()
+
+
+def test_vocab_drives_hot_cold_placement():
+    """The admission stats size the replicated-hot fragment directly:
+    vocab.slot_counts() -> build_layout -> split/lookup round-trips."""
+    from pytorchrec_tpu.parallel.hot_cold import (
+        build_layout,
+        make_hot_cold_lookup,
+        split_table,
+    )
+    from pytorchrec_tpu.parallel.mesh import make_mesh
+
+    vocab = FrequencyVocab(num_oov_buckets=2)
+    rng = np.random.default_rng(6)
+    vocab.update(rng.zipf(1.6, size=8192).astype(np.int64))
+    vocab.build(max_size=100)
+
+    layout = build_layout(vocab.slot_counts(), hot_rows=vocab.hot_rows(0.8),
+                          pad_cold_to_multiple=4)
+    table = rng.normal(size=(vocab.size, 8)).astype(np.float32)
+    hot, cold = split_table(table, layout)
+    assert hot.shape[0] == vocab.hot_rows(0.8)
+
+    mesh = make_mesh(data=2, model=4)
+    lookup = make_hot_cold_lookup(mesh)
+    slot_ids = vocab(rng.zipf(1.6, size=64).astype(np.int64))
+    out = np.asarray(lookup(hot, cold, layout.perm, slot_ids.astype(np.int32)))
+    np.testing.assert_allclose(out, table[slot_ids], rtol=1e-6)
+
+
 def test_save_load_roundtrip(tmp_path):
     vocab = FrequencyVocab(num_oov_buckets=3)
     rng = np.random.default_rng(1)
@@ -82,6 +135,8 @@ def test_save_load_roundtrip(tmp_path):
     probe = rng.integers(0, 300, size=500)
     np.testing.assert_array_equal(vocab(probe), loaded(probe))
     assert loaded.size == vocab.size and loaded.coverage == vocab.coverage
+    np.testing.assert_array_equal(loaded.slot_counts(), vocab.slot_counts())
+    assert loaded.hot_rows(0.9) == vocab.hot_rows(0.9)
 
 
 def test_mapper_and_column_sizing():
