@@ -8,7 +8,11 @@ from pytorchrec_tpu.training.callbacks import (
     ProgbarLogger,
     TerminateOnNaN,
 )
-from pytorchrec_tpu.training.checkpoint import CheckpointCallback, CheckpointManager
+from pytorchrec_tpu.training.checkpoint import (
+    CheckpointCallback,
+    CheckpointManager,
+    PreemptionGuard,
+)
 from pytorchrec_tpu.training.rl_trainer import RLTrainer
 from pytorchrec_tpu.training.state import RLTrainState, TrainState
 from pytorchrec_tpu.training.trainer import Trainer
@@ -26,6 +30,7 @@ __all__ = [
     "RLTrainer",
     "CheckpointManager",
     "CheckpointCallback",
+    "PreemptionGuard",
     "TrainState",
     "RLTrainState",
 ]

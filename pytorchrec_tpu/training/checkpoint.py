@@ -99,3 +99,64 @@ class CheckpointCallback(Callback):
         self.trainer.state = self.ckpt.restore(self.trainer.state, step)
         logger.info("resumed from checkpoint step %d", step)
         return step
+
+
+class PreemptionGuard(CheckpointCallback):
+    """Preemption-safe training (FUTURE item 8; no reference counterpart —
+    the reference's torch.save path loses optimizer/step state entirely).
+
+    Installs a handler for ``signals`` (default SIGTERM — what TPU pod
+    maintenance / spot reclamation delivers) while ``fit`` runs. On receipt
+    it does NOT interrupt the in-flight jitted step; at the next batch (or
+    epoch) boundary it saves the FULL train state synchronously and stops
+    the loop, so a restart with ``maybe_resume`` continues exactly where
+    the preempted run left off. The handler window is scoped to training:
+    previous handlers are restored on ``on_train_end``.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 every_epochs: int = 0, signals=None):
+        # every_epochs=0: save only on preemption (pass >0 for periodic too)
+        import signal as _signal
+
+        super().__init__(directory, every_epochs=every_epochs or 10**9,
+                         max_to_keep=max_to_keep)
+        self.signals = tuple(signals) if signals else (_signal.SIGTERM,)
+        self.preempted = False
+        self._previous = {}
+
+    def on_train_begin(self, logs=None):
+        import signal as _signal
+
+        self.preempted = False
+        for sig in self.signals:
+            self._previous[sig] = _signal.signal(sig, self._on_signal)
+
+    def _on_signal(self, signum, frame):
+        logger.warning("preemption signal %d received; will checkpoint and "
+                       "stop at the next step boundary", signum)
+        self.preempted = True
+
+    def _save_and_stop(self):
+        self.ckpt.save(int(self.trainer.state.step), self.trainer.state)
+        self.ckpt.wait()  # durable BEFORE the process can be killed
+        self.trainer.stop_training = True
+        logger.warning("preemption checkpoint saved at step %d",
+                       int(self.trainer.state.step))
+
+    def on_train_batch_end(self, batch: int, logs=None):
+        if self.preempted and not self.trainer.stop_training:
+            self._save_and_stop()
+
+    def on_epoch_end(self, epoch: int, logs=None):
+        super().on_epoch_end(epoch, logs)
+        if self.preempted and not self.trainer.stop_training:
+            self._save_and_stop()
+
+    def on_train_end(self, logs=None):
+        import signal as _signal
+
+        super().on_train_end(logs)
+        for sig, previous in self._previous.items():
+            _signal.signal(sig, previous)
+        self._previous = {}

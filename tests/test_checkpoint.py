@@ -106,3 +106,55 @@ def test_sharded_restore_keeps_shardings(dataset_dir, tmp_path):
     ]
     assert any(spec and spec[0] == MODEL_AXIS for spec in specs), specs
     ckpt.close()
+
+
+def test_preemption_guard_saves_and_resumes(dataset_dir, tmp_path):
+    """SIGTERM mid-epoch -> durable full-state checkpoint at the next batch
+    boundary, loop stops; a fresh process-equivalent trainer resumes from
+    exactly that step. Handler is scoped to the fit window."""
+    import signal
+
+    from pytorchrec_tpu.training import PreemptionGuard
+    from pytorchrec_tpu.training.callbacks import Callback
+
+    class PreemptAtBatch(Callback):
+        def __init__(self, at_batch):
+            super().__init__()
+            self.at_batch = at_batch
+
+        def on_train_batch_end(self, batch, logs=None):
+            if batch == self.at_batch:
+                os.kill(os.getpid(), signal.SIGTERM)
+
+    before = signal.getsignal(signal.SIGTERM)
+    reader = make_reader()
+    trainer = make_trainer(reader)
+    guard = PreemptionGuard(str(tmp_path / "pre"))
+    trainer.fit(reader, batch_size=32, epochs=50, verbose=0, eval_dev=False,
+                callbacks=[guard, PreemptAtBatch(at_batch=2)])
+
+    assert guard.preempted and trainer.stop_training
+    saved_step = guard.ckpt.latest_step()
+    assert saved_step == int(trainer.state.step)
+    # interrupted long before the 50 epochs could finish
+    from pytorchrec_tpu.data.loader import num_train_batches
+    total = 50 * num_train_batches(reader.get_train_dataset_size(), 32,
+                                   drop_last=True)
+    assert saved_step < total
+    # the previous SIGTERM disposition is back once fit returns
+    assert signal.getsignal(signal.SIGTERM) is before
+
+    # "new process": fresh trainer, resume, finish a couple more epochs
+    trainer2 = make_trainer(reader)
+    guard2 = PreemptionGuard(str(tmp_path / "pre"))
+    bootstrap = reader.get_batch("train", np.arange(2))
+    trainer2.init_state(bootstrap, seed=2020)
+    guard2.trainer = trainer2
+    assert guard2.maybe_resume() == saved_step
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(trainer2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    trainer2.fit(reader, batch_size=32, epochs=2, verbose=0, eval_dev=False,
+                 callbacks=[guard2])
+    assert int(trainer2.state.step) > saved_step
+    assert not guard2.preempted
