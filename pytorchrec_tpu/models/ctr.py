@@ -56,6 +56,9 @@ class _CTRBase(RecModel):
     # 4x less table HBM; train with QuantizedEmbeddingTrainer (rowwise
     # adagrad + stochastic-rounding requantize). Requires unified_embedding.
     quantized_embedding: bool = False
+    # 8 (default) or 4: int4 packs two values per byte (8x less table HBM
+    # than f32, scale = absmax/7) — same trainer, same stochastic rounding
+    table_bits: int = 8
 
     # batch key carrying externally-gathered (dequantized) rows — the
     # quantized trainer injects these so gradients flow to f32 row values
@@ -77,20 +80,25 @@ class _CTRBase(RecModel):
             if self.quantized_embedding:
                 from pytorchrec_tpu.ops.kernels.quantize import quantize_rows_xla
 
+                assert self.table_bits in (8, 4)
+                if self.table_bits == 4:
+                    assert self.emb_size % 2 == 0, "int4 packing needs even emb_size"
+                stored = self.emb_size if self.table_bits == 8 else self.emb_size // 2
+
                 def q_init(rng, shape):
-                    rows = normal_init(rng, shape)
-                    q, _ = quantize_rows_xla(rows)
+                    rows = normal_init(rng, (shape[0], self.emb_size))
+                    q, _ = quantize_rows_xla(rows, bits=self.table_bits)
                     return q
 
                 def s_init(rng, shape):
                     rows = normal_init(rng, (shape[0], self.emb_size))
-                    _, scale = quantize_rows_xla(rows)
+                    _, scale = quantize_rows_xla(rows, bits=self.table_bits)
                     return scale
 
                 # NOTE: q/scale come from independent inits; exact row values
                 # are re-established by the first quantized update. Kept
                 # simple: tables start near-normal(0, 0.01) either way.
-                self.unified_q = self.param("unified_q", q_init, (total, self.emb_size))
+                self.unified_q = self.param("unified_q", q_init, (total, stored))
                 self.unified_scale = self.param("unified_scale", s_init, (total,))
             else:
                 self.unified_table = Embedding(total, self.emb_size, name="unified_emb")
@@ -124,7 +132,8 @@ class _CTRBase(RecModel):
         if self.quantized_embedding:
             from pytorchrec_tpu.ops.kernels.quantize import dequantize_rows
 
-            return dequantize_rows(self.unified_q[ids], self.unified_scale[ids])
+            return dequantize_rows(self.unified_q[ids], self.unified_scale[ids],
+                                   bits=self.table_bits)
         return self.unified_table(ids)
 
     def _embedded_concat(self, sparse, batch: Batch = None) -> jnp.ndarray:
@@ -189,7 +198,7 @@ class _CTRBase(RecModel):
         return {
             "unified": {
                 "q": "unified_q", "scale": "unified_scale",
-                "ids": ids, "rows_key": self.ROWS_KEY,
+                "ids": ids, "rows_key": self.ROWS_KEY, "bits": self.table_bits,
             }
         }
 

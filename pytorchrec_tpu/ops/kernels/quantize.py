@@ -1,4 +1,4 @@
-"""Row-quantization kernels: f32 rows -> int8 + per-row scale.
+"""Row-quantization kernels: f32 rows -> int8 (or packed int4) + per-row scale.
 
 The storage format for quantized embedding tables
 (ops/quantized_embedding.py): each row keeps ``int8 values * scale`` with
@@ -22,12 +22,34 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_ROWS = 256
 
 
-def quantize_rows_xla(rows: jnp.ndarray,
-                      rng_bits: jnp.ndarray = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """[N, E] f32 -> ([N, E] int8, [N] f32 scale). ``rng_bits`` (uint32,
-    same shape) enables stochastic rounding; None = round-to-nearest."""
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """[..., E] int8 values in [-7, 7] -> [..., E//2] packed bytes (even
+    columns in the low nibble, odd in the high)."""
+    v = q.astype(jnp.int32)
+    low = v[..., 0::2] & 0xF
+    high = (v[..., 1::2] & 0xF) << 4
+    return (low | high).astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """[..., E//2] packed bytes -> [..., E] int8 values in [-8, 7]
+    (two's-complement nibble sign-extension via the xor-8 trick)."""
+    p = packed.astype(jnp.int32) & 0xFF
+    low = ((p & 0xF) ^ 8) - 8
+    high = (((p >> 4) & 0xF) ^ 8) - 8
+    out = jnp.stack([low, high], axis=-1)
+    return out.reshape(*packed.shape[:-1], -1).astype(jnp.int8)
+
+
+def quantize_rows_xla(rows: jnp.ndarray, rng_bits: jnp.ndarray = None,
+                      bits: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[N, E] f32 -> ([N, E] int8 (bits=8) or [N, E//2] packed (bits=4),
+    [N] f32 scale). ``rng_bits`` (uint32, shape [N, E]) enables stochastic
+    rounding; None = round-to-nearest."""
+    assert bits in (8, 4)
+    qmax = 127.0 if bits == 8 else 7.0
     absmax = jnp.max(jnp.abs(rows), axis=-1)
-    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    scale = jnp.where(absmax > 0, absmax / qmax, 1.0)
     scaled = rows / scale[:, None]
     if rng_bits is None:
         q = jnp.rint(scaled)
@@ -35,12 +57,17 @@ def quantize_rows_xla(rows: jnp.ndarray,
         # stochastic: floor(x + u), u ~ U[0,1)
         u = (rng_bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
         q = jnp.floor(scaled + u)
-    q = jnp.clip(q, -127, 127).astype(jnp.int8)
+    q = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
+    if bits == 4:
+        return pack_int4(q), scale
     return q, scale
 
 
-def dequantize_rows(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
-    """([..., E] int8, [...] f32) -> [..., E] f32."""
+def dequantize_rows(q: jnp.ndarray, scale: jnp.ndarray,
+                    bits: int = 8) -> jnp.ndarray:
+    """([..., E] int8 or [..., E//2] packed int4, [...] f32) -> [..., E]."""
+    if bits == 4:
+        q = unpack_int4(q)
     return q.astype(jnp.float32) * scale[..., None]
 
 

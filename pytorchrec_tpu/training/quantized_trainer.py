@@ -1,8 +1,9 @@
-"""Quantized-embedding trainer: int8 tables, rowwise Adagrad, stochastic
+"""Quantized-embedding trainer: int8/int4 tables, rowwise Adagrad, stochastic
 requantization.
 
 DLRM-grade memory/bandwidth recipe: table rows live as ``int8 * f32-scale``
-(4x smaller than f32), optimizer state is ONE f32 accumulator per row
+(4x smaller than f32; ``table_bits=4`` packs two 4-bit values per byte for
+8x), optimizer state is ONE f32 accumulator per row
 (rowwise Adagrad — vs 2 full f32 moment tables for Adam), and updates
 re-quantize with stochastic rounding so sub-scale deltas survive in
 expectation (ops/kernels/quantize.py).
@@ -110,7 +111,8 @@ class QuantizedEmbeddingTrainer(Trainer):
                 ids_map[name] = ids
                 q = jax.lax.stop_gradient(flat_params[table["q"]])
                 s = jax.lax.stop_gradient(flat_params[table["scale"]])
-                rows_in[name] = dequantize_rows(q[ids], s[ids])
+                rows_in[name] = dequantize_rows(q[ids], s[ids],
+                                                bits=table.get("bits", 8))
 
             def compute_loss(params, rows):
                 patched_batch = dict(batch)
@@ -149,12 +151,14 @@ class QuantizedEmbeddingTrainer(Trainer):
                 delta = table_lr * g.rows / (jnp.sqrt(acc_new)[:, None] + eps)
 
                 q, s = flat[table["q"]], flat[table["scale"]]
-                current = dequantize_rows(q[g.ids], s[g.ids])
+                table_bits = table.get("bits", 8)
+                current = dequantize_rows(q[g.ids], s[g.ids], bits=table_bits)
                 new_rows = current - delta
-                bits = jax.random.bits(
+                rng_bits = jax.random.bits(
                     jax.random.fold_in(step_rng, 1), new_rows.shape, jnp.uint32
                 )
-                q_new, s_new = quantize_rows_xla(new_rows, rng_bits=bits)
+                q_new, s_new = quantize_rows_xla(new_rows, rng_bits=rng_bits,
+                                                 bits=table_bits)
                 flat[table["q"]] = q.at[g.ids].set(
                     jnp.where(mask2 > 0, q_new, q[g.ids])
                 )

@@ -121,3 +121,70 @@ def test_quantized_quality_close_to_f32(dataset_dir):
     f32 = run(False)
     q8 = run(True)
     assert q8 > 0.5 * f32, (f32, q8)
+
+
+def test_int4_pack_unpack_identity():
+    from pytorchrec_tpu.ops.kernels.quantize import pack_int4, unpack_int4
+
+    rng = np.random.default_rng(7)
+    q = rng.integers(-7, 8, size=(33, 16)).astype(np.int8)
+    packed = pack_int4(jnp.asarray(q))
+    assert packed.shape == (33, 8) and packed.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), q)
+
+
+def test_int4_quantize_roundtrip_and_stochastic_mean():
+    from pytorchrec_tpu.ops.kernels.quantize import (
+        dequantize_rows,
+        quantize_rows_xla,
+    )
+
+    rng = np.random.default_rng(8)
+    rows = rng.normal(scale=0.05, size=(64, 16)).astype(np.float32)
+    q, scale = quantize_rows_xla(jnp.asarray(rows), bits=4)
+    assert q.shape == (64, 8)
+    out = np.asarray(dequantize_rows(q, scale, bits=4))
+    # round-to-nearest error bounded by scale/2 per element
+    assert np.all(np.abs(out - rows) <= np.asarray(scale)[:, None] / 2 + 1e-7)
+
+    # stochastic rounding is unbiased in expectation
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    acc = np.zeros_like(rows)
+    n = 64
+    for i in range(n):
+        bits_arr = jax.random.bits(jax.random.fold_in(key, i), rows.shape,
+                                   jnp.uint32)
+        qi, si = quantize_rows_xla(jnp.asarray(rows), rng_bits=bits_arr, bits=4)
+        acc += np.asarray(dequantize_rows(qi, si, bits=4))
+    mean_err = np.abs(acc / n - rows).mean()
+    det_err = np.abs(out - rows).mean()
+    assert mean_err < det_err  # averaging recovers sub-scale structure
+
+
+def test_int4_dcn_trains(dataset_dir):
+    from pytorchrec_tpu.data import SplitMode, TrainMode
+    from pytorchrec_tpu.tasks import build_model, build_reader
+    from pytorchrec_tpu.training.quantized_trainer import QuantizedEmbeddingTrainer
+
+    reader = build_reader("dcn", "Synthetic-ML-Quant",
+                          split_mode=SplitMode.LEAVE_K_OUT, warm_n=5, leave_k=1,
+                          neg_sample_n=9, train_mode=TrainMode.POINT_WISE,
+                          random_seed=2020)
+    model = build_model("dcn", reader, emb_size=8,
+                        unified_embedding=True, quantized_embedding=True,
+                        table_bits=4)
+    t = QuantizedEmbeddingTrainer(model)
+    t.compile(optimizer="adam", lr=0.05, loss="bce", metrics=("ndcg@5",),
+              user_sample_n=10)
+    # 16-level quantization is noisier than int8: needs a longer horizon
+    h = t.fit(reader, batch_size=32, epochs=6, verbose=0, dev_freq=6)
+    assert all(np.isfinite(h.history["loss"]))
+    assert h.history["loss"][-1] < h.history["loss"][0]
+
+    # packed storage: half the bytes of the int8 table
+    q = t.state.params["unified_q"]
+    assert q.dtype == jnp.int8 and q.shape[1] == 4  # emb 8 -> 4 bytes/row
+    logs = t.evaluate(reader, split="test", batch_size=32)
+    assert np.isfinite(logs["ndcg@5"])
