@@ -37,6 +37,7 @@ from pytorchrec_tpu.parallel.hot_cold import (
     build_layout,
     hot_cold_lookup,
     make_hot_cold_lookup,
+    merge_table,
     split_table,
 )
 
@@ -46,4 +47,5 @@ __all__ += [
     "split_table",
     "hot_cold_lookup",
     "make_hot_cold_lookup",
+    "merge_table",
 ]

@@ -69,6 +69,17 @@ def split_table(table: np.ndarray, layout: HotColdLayout) -> Tuple[np.ndarray, n
     return hot, cold
 
 
+def merge_table(hot: np.ndarray, cold: np.ndarray,
+                layout: HotColdLayout) -> np.ndarray:
+    """Inverse of ``split_table``: (hot [H, E], cold [C, E]) -> [V, E] in the
+    original row order (drops cold padding) — for checkpointing or exporting
+    a table trained in the hot/cold layout."""
+    v = len(layout.perm)
+    packed = np.concatenate(
+        [np.asarray(hot), np.asarray(cold)[: v - layout.hot_rows]])
+    return packed[layout.perm]
+
+
 def hot_cold_lookup(hot: jnp.ndarray, cold_shard: jnp.ndarray,
                     perm: jnp.ndarray, ids: jnp.ndarray,
                     axis_name: str = MODEL_AXIS) -> jnp.ndarray:

@@ -180,3 +180,48 @@ def test_hot_cold_layout_and_lookup():
             exp_cold[p - HOT] += 1.0
     np.testing.assert_allclose(np.asarray(g_hot), exp_hot, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_cold), exp_cold, rtol=1e-6)
+
+
+def test_hot_cold_training_step_matches_dense():
+    """One SGD step on the hot/cold fragments == one SGD step on the dense
+    table (merge_table round-trips the updated fragments back to the
+    original row order) — training really can run in the RecShard layout."""
+    from pytorchrec_tpu.parallel.hot_cold import (
+        build_layout,
+        make_hot_cold_lookup,
+        merge_table,
+        split_table,
+    )
+
+    rng = np.random.default_rng(3)
+    V, E, HOT, B = 64, 8, 6, 16
+    counts = rng.zipf(1.5, size=V).astype(np.int64)
+    table = rng.normal(size=(V, E)).astype(np.float32)
+    target = rng.normal(size=(B, E)).astype(np.float32)
+    ids = rng.integers(0, V, size=B).astype(np.int32)
+    mesh = make_mesh(data=2, model=4)
+
+    layout = build_layout(counts, hot_rows=HOT, pad_cold_to_multiple=4)
+    hot, cold = split_table(table, layout)
+    lookup = make_hot_cold_lookup(mesh)
+    lr = 0.1
+
+    def hc_loss(hot, cold):
+        rows = lookup(hot, cold, jnp.asarray(layout.perm), jnp.asarray(ids))
+        return jnp.mean((rows - target) ** 2)
+
+    g_hot, g_cold = jax.grad(hc_loss, argnums=(0, 1))(
+        jnp.asarray(hot), jnp.asarray(cold))
+    merged = merge_table(np.asarray(hot - lr * g_hot),
+                         np.asarray(cold - lr * g_cold), layout)
+
+    def dense_loss(t):
+        return jnp.mean((t[ids] - target) ** 2)
+
+    dense_after = np.asarray(
+        jnp.asarray(table) - lr * jax.grad(dense_loss)(jnp.asarray(table)))
+    np.testing.assert_allclose(merged, dense_after, rtol=1e-5, atol=1e-7)
+
+    # merge_table is the exact inverse of split_table
+    np.testing.assert_array_equal(merge_table(*split_table(table, layout),
+                                              layout), table)
