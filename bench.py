@@ -45,7 +45,7 @@ def make_host_batch(rng: np.random.Generator):
     return batch
 
 
-def bench_tpu() -> float:
+def bench_tpu() -> list:
     import jax
 
     from pytorchrec_tpu.feature_column import (
@@ -86,16 +86,17 @@ def bench_tpu() -> float:
         trainer._train_step(batches[i % len(batches)])
     jax.block_until_ready(trainer.state.params)
 
-    # best-of-N windows: robust to transient device-link slowdowns
-    best = 0.0
+    # N windows: the per-window distribution separates framework perf from
+    # transient device-link slowdowns (callers report best AND median)
+    windows = []
     for _ in range(MEASURE_WINDOWS):
         start = time.perf_counter()
         for i in range(MEASURE_STEPS):
             loss = trainer._train_step(batches[i % len(batches)])
         jax.block_until_ready(loss)
         elapsed = time.perf_counter() - start
-        best = max(best, MEASURE_STEPS * BATCH / elapsed)
-    return best
+        windows.append(MEASURE_STEPS * BATCH / elapsed)
+    return windows
 
 
 def bench_torch_reference() -> float:
@@ -192,9 +193,11 @@ def _src_hash() -> str:
 
 
 def _measure_with_watchdog():
-    """Run the device benchmark under a wall-clock budget; on timeout or
-    failure fall back to the last recorded measurement so the driver always
-    gets a line."""
+    """Run the device benchmark under a wall-clock budget.
+
+    Returns ``(windows, error)``: the list of live per-window throughputs (or
+    ``[]``) plus the failure description. Only an alarm timeout or a device/
+    runtime error falls back — a plain Python bug (TypeError etc.) raises."""
     import signal
 
     class _Timeout(Exception):
@@ -205,67 +208,91 @@ def _measure_with_watchdog():
 
     signal.signal(signal.SIGALRM, _raise)
     signal.alarm(DEVICE_BUDGET_S)
-    src = _src_hash()
+    try:
+        windows = bench_tpu()
+        signal.alarm(0)
+        return windows, None
+    except (_Timeout, RuntimeError, OSError, jax_errors()) as e:
+        signal.alarm(0)
+        sys.stderr.write(f"bench: live measurement failed ({e!r})\n")
+        return [], f"{type(e).__name__}: {e}"
 
-    def _same_source_cache() -> dict:
-        """Prior cache of THIS source version (empty if none/mismatched)."""
-        if not os.path.exists(CACHE_PATH):
-            return {}
+
+def jax_errors():
+    try:
+        from jax.errors import JaxRuntimeError
+
+        return JaxRuntimeError
+    except ImportError:  # older jax: XlaRuntimeError rides on RuntimeError
+        return RuntimeError
+
+
+def _load_cache(src: str) -> dict:
+    """Prior cache (best-known kept only for THIS source version)."""
+    if not os.path.exists(CACHE_PATH):
+        return {}
+    try:
         with open(CACHE_PATH) as f:
             cache = json.load(f)
-        return cache if cache.get("src_hash") == src else {}
-
-    def _cached_best() -> float:
-        return _same_source_cache().get("value", 0.0)
-
-    try:
-        value = bench_tpu()
-        signal.alarm(0)
-        cache = _same_source_cache()
-        best = max(value, cache.get("value", 0.0))
-        cache.update({"value": best, "src_hash": src})
-        with open(CACHE_PATH, "w") as f:
-            json.dump(cache, f)
-        # best-of-runs over identical source: the device tunnel's run-to-run
-        # throughput swings are environment state, not framework performance
-        return best, value
-    except (_Timeout, Exception) as e:  # noqa: BLE001 - any failure -> cache
-        signal.alarm(0)
-        sys.stderr.write(f"bench: live measurement failed ({e!r}); "
-                         "falling back to cached value\n")
-        best = _cached_best()
-        if best == 0.0:
-            raise  # no same-source cache: surface the real failure
-        return best, None
+    except (OSError, ValueError):
+        return {}
+    if cache.get("src_hash") != src:
+        # keep the torch baseline (source-independent); drop the TPU best
+        cache = {"torch_value": cache.get("torch_value", 0.0)}
+    return cache
 
 
 def main():
-    ours, live = _measure_with_watchdog()
+    src = _src_hash()
+    cache = _load_cache(src)
+    windows, error = _measure_with_watchdog()
     baseline = bench_torch_reference()
     # baseline is best-of-runs too (its BEST run = the most conservative
     # ratio; protects the reference stack from this host's transient load)
+    baseline = max(baseline, cache.get("torch_value", 0.0))
+
+    live_best = max(windows) if windows else 0.0
+    live_median = float(np.median(windows)) if windows else 0.0
+    best_known = max(live_best, cache.get("value", 0.0))
+
+    cache.update({"value": best_known, "torch_value": baseline, "src_hash": src})
     try:
-        with open(CACHE_PATH) as f:
-            cache = json.load(f)
-        baseline = max(baseline, cache.get("torch_value", 0.0))
-        cache["torch_value"] = baseline
         with open(CACHE_PATH, "w") as f:
             json.dump(cache, f)
-    except (OSError, ValueError):
+    except OSError:
         pass
-    note = {}
-    if live is None:
-        note = {"note": "cached (device link stalled)"}
-    elif live < ours:
-        note = {"note": f"best-of-runs, same source (this run's link window: "
-                        f"{round(live, 1)})"}
-    print(json.dumps({
-        "metric": "dcnv2_criteo_train_throughput",
-        "value": round(ours, 1),
-        "unit": "examples/sec/chip",
-        "vs_baseline": round(ours / baseline, 3),
-        **note,
-    }))
+
+    if not windows:
+        if best_known == 0.0:
+            raise SystemExit(f"bench: no live measurement and no same-source "
+                             f"cache ({error})")
+        # device link dead this run: report the same-source best-known,
+        # explicitly labeled with the real failure
+        result = {
+            "metric": "dcnv2_criteo_train_throughput",
+            "value": round(best_known, 1),
+            "unit": "examples/sec/chip",
+            "vs_baseline": round(best_known / baseline, 3),
+            "note": f"NO live measurement this run ({error}); value is the "
+                    f"best same-source prior run",
+        }
+    else:
+        # live measurement is the primary value; the same-source historical
+        # best rides along as a separate field
+        result = {
+            "metric": "dcnv2_criteo_train_throughput",
+            "value": round(live_best, 1),
+            "unit": "examples/sec/chip",
+            "vs_baseline": round(live_best / baseline, 3),
+            "live_median": round(live_median, 1),
+            "n_windows": len(windows),
+            "value_best_known": round(best_known, 1),
+            "note": f"value = best of {len(windows)} live windows this run; "
+                    f"median {round(live_median/1e6, 2)}M; best same-source "
+                    f"run ever: {round(best_known/1e6, 2)}M (device-link "
+                    f"throughput varies run to run)",
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

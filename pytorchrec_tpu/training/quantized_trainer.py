@@ -143,9 +143,8 @@ class QuantizedEmbeddingTrainer(Trainer):
             step = state.step + 1
             flat = dict(_flatten(params))
             acc_out = dict(state.table_acc)
-            for name, table in spec.items():
+            for table_index, (name, table) in enumerate(spec.items()):
                 g = dedup_row_grads(ids_map[name], row_grads[name])
-                mask2 = g.mask[:, None]
                 acc_rows = acc_out[name][g.ids]
                 acc_new = acc_rows + jnp.mean(jnp.square(g.rows), axis=-1)
                 delta = table_lr * g.rows / (jnp.sqrt(acc_new)[:, None] + eps)
@@ -154,17 +153,22 @@ class QuantizedEmbeddingTrainer(Trainer):
                 table_bits = table.get("bits", 8)
                 current = dequantize_rows(q[g.ids], s[g.ids], bits=table_bits)
                 new_rows = current - delta
+                # per-table RNG stream: fold the table index so same-shape
+                # tables don't share stochastic-rounding noise
                 rng_bits = jax.random.bits(
-                    jax.random.fold_in(step_rng, 1), new_rows.shape, jnp.uint32
+                    jax.random.fold_in(step_rng, 1 + table_index),
+                    new_rows.shape, jnp.uint32,
                 )
                 q_new, s_new = quantize_rows_xla(new_rows, rng_bits=rng_bits,
                                                  bits=table_bits)
-                flat[table["q"]] = q.at[g.ids].set(
-                    jnp.where(mask2 > 0, q_new, q[g.ids])
-                )
-                flat[table["scale"]] = s.at[g.ids].set(
-                    jnp.where(g.mask > 0, s_new, s[g.ids])
-                )
+                # Padding slots in g alias the last unique id; a scatter-SET
+                # with duplicate indices is last-wins-nondeterministic, so a
+                # padding slot's stale row could clobber that id's real
+                # update. Route padding out of bounds + mode='drop' instead.
+                n_rows = acc_out[name].shape[0]
+                safe_ids = jnp.where(g.mask > 0, g.ids, n_rows)
+                flat[table["q"]] = q.at[safe_ids].set(q_new, mode="drop")
+                flat[table["scale"]] = s.at[safe_ids].set(s_new, mode="drop")
                 acc_out[name] = acc_out[name].at[g.ids].add(
                     (acc_new - acc_rows) * g.mask
                 )

@@ -624,7 +624,7 @@ class Trainer:
     # serving
     # ------------------------------------------------------------------
 
-    def make_serving_fn(self, donate: bool = False):
+    def make_serving_fn(self):
         """Jitted pure scorer ``fn(batch) -> prediction`` over the current
         params — the deployment artifact (no reference counterpart: the
         reference serves through the mutable module's predict loop,

@@ -123,6 +123,53 @@ def test_quantized_quality_close_to_f32(dataset_dir):
     assert q8 > 0.5 * f32, (f32, q8)
 
 
+def test_duplicate_ids_do_not_clobber_last_row():
+    """Regression: dedup padding slots alias the LAST unique id; a scatter-SET
+    with duplicate indices is last-wins, so the padding slot's stale row used
+    to revert that id's update. Craft a batch where the max unified id is
+    duplicated (guaranteeing padding slots alias it) and check its row moves."""
+    from pytorchrec_tpu.feature_column import CategoricalColumnWithIdentity
+    from pytorchrec_tpu.models import FM
+    from pytorchrec_tpu.ops.kernels.quantize import dequantize_rows
+    from pytorchrec_tpu.training.quantized_trainer import QuantizedEmbeddingTrainer
+
+    cols = [
+        CategoricalColumnWithIdentity(feature_name=f"c_{i}", category_num=4)
+        for i in range(2)
+    ]
+    label = CategoricalColumnWithIdentity(feature_name="label", category_num=2)
+    model = FM(sparse_columns=tuple(cols), label_column=label, emb_size=8,
+               unified_embedding=True, quantized_embedding=True)
+    # unified ids: c_0 -> 0..3, c_1 -> 4..7. Max id 7 duplicated; with 12 id
+    # slots and 7 unique, 5 padding slots alias id 7.
+    batch = {
+        "c_0": np.array([3, 3, 1, 1, 0, 0], np.int32),
+        "c_1": np.array([3, 3, 2, 2, 0, 0], np.int32),
+        "label": np.array([1, 0, 1, 0, 1, 0], np.int32),
+    }
+    t = QuantizedEmbeddingTrainer(model)
+    # lr 1.0: adagrad's first step has |delta| ~ lr per touched element, far
+    # above the int8 scale, so every touched row must visibly change
+    t.compile(optimizer="adam", lr=1.0, loss="bce", metrics=("auc",))
+    t.init_state(batch, seed=0)
+
+    def rows():
+        q = t.state.params["unified_q"]
+        s = t.state.params["unified_scale"]
+        return np.asarray(dequantize_rows(q, s))
+
+    before = rows()
+    t._train_step(batch)
+    after = rows()
+    touched = [0, 1, 3, 4, 6, 7]
+    for i in touched:
+        delta = np.abs(after[i] - before[i]).max()
+        assert delta > 0.05, (i, delta)
+    # untouched rows unchanged
+    np.testing.assert_array_equal(after[2], before[2])
+    np.testing.assert_array_equal(after[5], before[5])
+
+
 def test_int4_pack_unpack_identity():
     from pytorchrec_tpu.ops.kernels.quantize import pack_int4, unpack_int4
 
