@@ -59,17 +59,25 @@ class _CTRBase(RecModel):
     # 8 (default) or 4: int4 packs two values per byte (8x less table HBM
     # than f32, scale = absmax/7) — same trainer, same stochastic rounding
     table_bits: int = 8
+    # round the unified table's rows up so they divide a mesh 'model' axis
+    # (the explicit sharded-embedding trainer requires equal row shards;
+    # padding rows are never referenced — unified ids stay < sum(vocab))
+    table_row_multiple: int = 1
 
-    # batch key carrying externally-gathered (dequantized) rows — the
-    # quantized trainer injects these so gradients flow to f32 row values
+    # batch keys carrying externally-gathered rows — the quantized trainer
+    # injects dequantized second-order rows through ROWS_KEY; the explicit
+    # sharded trainer injects both tables' rows (gradients then flow to the
+    # injected rows, not the table leaves)
     ROWS_KEY = "__rows__unified"
+    LIN_ROWS_KEY = "__rows__unified_lin"
 
     def _field_offsets(self):
         sizes = [c.category_num for c in self.sparse_columns]
         offsets = [0]
         for size in sizes[:-1]:
             offsets.append(offsets[-1] + size)
-        return offsets, sum(sizes)
+        m = self.table_row_multiple
+        return offsets, -(-sum(sizes) // m) * m
 
     def _build_embeddings(self):
         if self.quantized_embedding:
@@ -164,12 +172,15 @@ class _CTRBase(RecModel):
             vectors.append((values[..., None] * self.dense_factors[i])[..., None, :])
         return jnp.concatenate(vectors, axis=-2)
 
-    def _linear_term(self, sparse, dense) -> jnp.ndarray:
+    def _linear_term(self, sparse, dense, batch: Batch = None) -> jnp.ndarray:
         total = self.global_bias
         if self.unified_embedding:
-            total = total + jnp.sum(
-                self.unified_lin(self._unified_ids(sparse))[..., 0], axis=-1
-            )
+            ids = self._unified_ids(sparse)
+            lin_rows = batch.get(self.LIN_ROWS_KEY) if batch is not None else None
+            if lin_rows is not None:
+                total = total + jnp.sum(jnp.reshape(lin_rows, ids.shape), axis=-1)
+            else:
+                total = total + jnp.sum(self.unified_lin(ids)[..., 0], axis=-1)
         else:
             for emb, ids in zip(self.first_order, sparse):
                 total = total + emb(ids)[..., 0]
@@ -201,6 +212,31 @@ class _CTRBase(RecModel):
                 "ids": ids, "rows_key": self.ROWS_KEY, "bits": self.table_bits,
             }
         }
+
+    def sharded_table_specs(self, batch: Batch):
+        """Explicit sharded-table protocol
+        (training/sharded_sparse_trainer.py). Requires the unified layout
+        (one offset-indexed table = one exchange per step instead of F)."""
+        assert self.unified_embedding and not self.quantized_embedding, (
+            "explicit sharding needs unified_embedding=True (f32 rows)"
+        )
+        sparse, _, _ = _gather_fields(batch, self.sparse_columns, self.dense_columns)
+        ids = self._unified_ids_from(sparse)
+        specs = {
+            "unified_lin": {"path": "unified_lin/embedding", "ids": ids,
+                            "rows_key": self.LIN_ROWS_KEY},
+        }
+        if self._uses_field_embeddings:
+            specs["unified"] = {"path": "unified_emb/embedding", "ids": ids,
+                                "rows_key": self.ROWS_KEY}
+        return specs
+
+    def _unified_ids_from(self, sparse) -> jnp.ndarray:
+        """_unified_ids without setup(): usable outside apply()."""
+        offsets, _ = self._field_offsets()
+        return jnp.stack(
+            [jnp.asarray(i) + off for i, off in zip(sparse, offsets)], axis=-1
+        )
 
     def sparse_table_ids(self, batch: Batch):
         if self.unified_embedding:
@@ -236,7 +272,7 @@ class LR(_CTRBase):
 
     def __call__(self, batch: Batch, train: bool = False) -> Prediction:
         sparse, dense, candidate_mode = _gather_fields(batch, self.sparse_columns, self.dense_columns)
-        prediction = self._linear_term(sparse, dense)
+        prediction = self._linear_term(sparse, dense, batch)
         return self._finish(prediction, candidate_mode, batch)
 
 
@@ -249,7 +285,7 @@ class FM(_CTRBase):
     def __call__(self, batch: Batch, train: bool = False) -> Prediction:
         sparse, dense, candidate_mode = _gather_fields(batch, self.sparse_columns, self.dense_columns)
         vectors = self._field_vectors(sparse, dense, batch)
-        prediction = self._linear_term(sparse, dense) + fm_interaction(vectors)
+        prediction = self._linear_term(sparse, dense, batch) + fm_interaction(vectors)
         return self._finish(prediction, candidate_mode, batch)
 
 
@@ -268,7 +304,7 @@ class DeepFM(_CTRBase):
     def __call__(self, batch: Batch, train: bool = False) -> Prediction:
         sparse, dense, candidate_mode = _gather_fields(batch, self.sparse_columns, self.dense_columns)
         vectors = self._field_vectors(sparse, dense, batch)  # [..., F, E]
-        fm_term = self._linear_term(sparse, dense) + fm_interaction(vectors)
+        fm_term = self._linear_term(sparse, dense, batch) + fm_interaction(vectors)
         flat = vectors.reshape(*vectors.shape[:-2], -1)  # [..., F*E]
         deep_term = self.deep_head(self.deep(flat, train=train))[..., 0]
         prediction = fm_term + deep_term

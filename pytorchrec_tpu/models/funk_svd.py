@@ -14,22 +14,43 @@ from pytorchrec_tpu.models.base import Batch, Prediction, RecModel, label_target
 from pytorchrec_tpu.ops import Embedding
 
 
+def _round_up(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
 class FunkSVD(RecModel):
     uid_column: CategoricalColumnWithIdentity
     iid_column: CategoricalColumnWithIdentity
     label_column: CategoricalColumnWithIdentity
     emb_size: int = 64
+    # round table rows up so they divide a mesh 'model' axis (the explicit
+    # sharded-embedding trainer requires equal row shards; padding rows are
+    # never referenced — ids stay < category_num)
+    table_row_multiple: int = 1
+
+    # batch keys carrying externally-gathered rows (the explicit sharded
+    # trainer injects these; the in-module gather is then skipped so
+    # d(loss)/d(rows) is the per-occurrence row gradient)
+    U_ROWS_KEY = "__rows__u"
+    I_ROWS_KEY = "__rows__i"
 
     def setup(self):
-        self.u_embeddings = Embedding(self.uid_column.category_num, self.emb_size)
-        self.i_embeddings = Embedding(self.iid_column.category_num, self.emb_size)
+        m = self.table_row_multiple
+        self.u_embeddings = Embedding(
+            _round_up(self.uid_column.category_num, m), self.emb_size)
+        self.i_embeddings = Embedding(
+            _round_up(self.iid_column.category_num, m), self.emb_size)
 
     def __call__(self, batch: Batch, train: bool = False) -> Prediction:
         u_ids = self.uid_column.get_feature_data(batch)  # [B]
         i_ids = self.iid_column.get_feature_data(batch)  # [B] or [B, N]
 
-        u_vectors = self.u_embeddings(u_ids)  # [B, E]
-        i_vectors = self.i_embeddings(i_ids)  # [B, E] or [B, N, E]
+        u_rows = batch.get(self.U_ROWS_KEY)
+        i_rows = batch.get(self.I_ROWS_KEY)
+        u_vectors = (jnp.reshape(u_rows, (*u_ids.shape, self.emb_size))
+                     if u_rows is not None else self.u_embeddings(u_ids))
+        i_vectors = (jnp.reshape(i_rows, (*i_ids.shape, self.emb_size))
+                     if i_rows is not None else self.i_embeddings(i_ids))
 
         if i_ids.ndim == 1:
             prediction = jnp.sum(u_vectors * i_vectors, axis=-1)  # [B]
@@ -43,4 +64,18 @@ class FunkSVD(RecModel):
         return {
             "u_embeddings/embedding": self.uid_column.get_feature_data(batch),
             "i_embeddings/embedding": self.iid_column.get_feature_data(batch),
+        }
+
+    def sharded_table_specs(self, batch: Batch):
+        """Explicit sharded-table protocol
+        (training/sharded_sparse_trainer.py): per table, the ids at every
+        gather position plus the batch key where externally-gathered rows are
+        injected back."""
+        return {
+            "u": {"path": "u_embeddings/embedding",
+                  "ids": self.uid_column.get_feature_data(batch),
+                  "rows_key": self.U_ROWS_KEY},
+            "i": {"path": "i_embeddings/embedding",
+                  "ids": self.iid_column.get_feature_data(batch),
+                  "rows_key": self.I_ROWS_KEY},
         }

@@ -83,10 +83,12 @@ def sparse_lazy_adam(
     v_hat = new_v / (1.0 - b2 ** step)
     delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
 
-    # masked scatter: padding slots write a zero delta to a safe row
-    table = table.at[g.ids].add(-delta * mask)
-    m = m.at[g.ids].add((new_m - m_rows) * mask)
-    v = v.at[g.ids].add((new_v - v_rows) * mask)
+    # masked scatter: padding slots write a zero delta to a safe row.
+    # mode='drop' additionally lets callers pass OUT-OF-RANGE sentinel ids
+    # (the sharded trainer's exchange padding) — those updates vanish.
+    table = table.at[g.ids].add(-delta * mask, mode="drop")
+    m = m.at[g.ids].add((new_m - m_rows) * mask, mode="drop")
+    v = v.at[g.ids].add((new_v - v_rows) * mask, mode="drop")
     return table, m, v
 
 
@@ -104,6 +106,6 @@ def sparse_adagrad(
     acc_rows = accum[g.ids]
     new_acc = acc_rows + jnp.square(g.rows)
     delta = lr * g.rows / (jnp.sqrt(new_acc) + eps)
-    table = table.at[g.ids].add(-delta * mask)
-    accum = accum.at[g.ids].add((new_acc - acc_rows) * mask)
+    table = table.at[g.ids].add(-delta * mask, mode="drop")
+    accum = accum.at[g.ids].add((new_acc - acc_rows) * mask, mode="drop")
     return table, accum

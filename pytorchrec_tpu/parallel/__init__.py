@@ -13,6 +13,7 @@ from pytorchrec_tpu.parallel.sharding import (
 )
 from pytorchrec_tpu.parallel.embedding_engine import (
     all_to_all_lookup,
+    all_to_all_rowgrad,
     make_sharded_lookup,
     masked_psum_lookup,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "is_embedding_table",
     "masked_psum_lookup",
     "all_to_all_lookup",
+    "all_to_all_rowgrad",
     "make_sharded_lookup",
 ]
 

@@ -14,16 +14,24 @@ two exchange strategies usable inside ``shard_map``:
   giant tables (the BASELINE.json "all-to-all exchange" configuration).
 
 Both are pure and differentiable (psum/all_to_all transpose correctly), so
-sparse-table gradients flow back to the owning shard automatically.
+sparse-table gradients flow back to the owning shard automatically — but the
+production trainer (training/sharded_sparse_trainer.py) keeps the backward
+EXPLICIT instead: it treats the looked-up rows as a differentiable input,
+routes the resulting row gradients to their owner shards with
+``all_to_all_rowgrad`` below, and applies row-sparse optimizer updates on the
+owning shard. That preserves lazy-sparse update semantics (only touched rows
+move through HBM) which autodiff through the lookup would destroy (its
+transpose materializes a dense [V/m, E] gradient).
 
 Static-shape discipline: the all_to_all path uses a fixed per-destination
 capacity (= local batch size) so nothing is data-dependent — padding slots
-carry id 0 and are masked out of the return scatter.
+carry a sentinel id routed out of range and masked/dropped downstream.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple, Tuple
 
 
 import jax
@@ -51,6 +59,32 @@ def masked_psum_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     return jax.lax.psum(vectors, axis_name)
 
 
+class _Routing(NamedTuple):
+    """Owner-bucketed routing plan for a flat id vector (static shapes).
+
+    ``send_slot[i] = (owner_i, pos_i)``: the position of original id ``i`` in
+    the [m, b] send matrix; ``order``/``inverse`` are the stable owner sort.
+    """
+
+    owner: jnp.ndarray          # [b] owner shard per original id
+    order: jnp.ndarray          # [b] stable sort by owner
+    inverse: jnp.ndarray        # [b] inverse permutation
+    sorted_owner: jnp.ndarray   # [b]
+    pos_in_bucket: jnp.ndarray  # [b] position within the owner's bucket
+
+
+def _route_by_owner(ids: jnp.ndarray, rows_per_shard: int, m: int) -> _Routing:
+    (b,) = ids.shape
+    owner = jnp.clip(ids // rows_per_shard, 0, m - 1)  # [b]
+    order = jnp.argsort(owner, stable=True)
+    sorted_owner = owner[order]
+    one_hot = sorted_owner[:, None] == jnp.arange(m)[None, :]  # [b, m]
+    pos_in_bucket = jnp.cumsum(one_hot, axis=0)[jnp.arange(b), sorted_owner] - 1
+    inverse = jnp.argsort(order, stable=True)
+    return _Routing(owner=owner, order=order, inverse=inverse,
+                    sorted_owner=sorted_owner, pos_in_bucket=pos_in_bucket)
+
+
 def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
                       axis_name: str = MODEL_AXIS) -> jnp.ndarray:
     """Per-shard body: route ids to owners, gather, route vectors back.
@@ -60,20 +94,12 @@ def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     m = jax.lax.axis_size(axis_name)
     rows = table_shard.shape[0]
     (b,) = ids.shape
-
-    owner = jnp.clip(ids // rows, 0, m - 1)  # [B]
-    # stable bucket order: sort ids by owner; fixed capacity b per bucket
-    order = jnp.argsort(owner, stable=True)
-    sorted_ids = ids[order]
-    sorted_owner = owner[order]
-    # position of each id within its owner bucket
-    one_hot = sorted_owner[:, None] == jnp.arange(m)[None, :]  # [B, m]
-    pos_in_bucket = jnp.cumsum(one_hot, axis=0)[jnp.arange(b), sorted_owner] - 1
-    counts = jnp.sum(one_hot, axis=0)  # [m]
+    r = _route_by_owner(ids, rows, m)
+    sorted_ids = ids[r.order]
 
     # send matrix [m, b]: bucket d holds the ids owned by shard d (padded 0)
     send = jnp.zeros((m, b), dtype=ids.dtype)
-    send = send.at[sorted_owner, pos_in_bucket].set(sorted_ids)
+    send = send.at[r.sorted_owner, r.pos_in_bucket].set(sorted_ids)
 
     # exchange: receive the ids every shard wants from *us*
     recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0,
@@ -86,9 +112,59 @@ def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     back = jax.lax.all_to_all(gathered, axis_name, split_axis=0, concat_axis=0,
                               tiled=False)  # [m, b, E]
     # unscatter: row i of the original order lives at [owner_i, pos_i]
-    sorted_vectors = back[sorted_owner, pos_in_bucket]  # [B, E]
-    inverse = jnp.argsort(order, stable=True)
-    return sorted_vectors[inverse]
+    sorted_vectors = back[r.sorted_owner, r.pos_in_bucket]  # [B, E]
+    return sorted_vectors[r.inverse]
+
+
+def all_to_all_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
+                       rows_per_shard: int,
+                       axis_name: str = MODEL_AXIS) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Route per-occurrence row gradients to their owner shards.
+
+    Per-shard body (inside shard_map). ``ids [n]`` / ``row_grads [n, E]`` are
+    the local batch's occurrence list, REPLICATED over the model axis (every
+    model shard computed the same forward on the same data slice). Each shard
+    routes only its 1/m chunk so every occurrence crosses the interconnect
+    exactly once — naive routing would deliver m duplicate copies per owner
+    (and m× the traffic).
+
+    Returns ``(recv_ids [n_p], recv_grads [n_p, E])`` (``n_p`` = n rounded up
+    to a multiple of m) where every received id is owned by this shard —
+    except padding slots, which carry the OUT-OF-RANGE sentinel
+    ``m * rows_per_shard`` (and zero grads) so downstream scatter updates
+    drop them (``mode='drop'``) instead of aliasing a real row (the bug class
+    fixed in the quantized trainer).
+    """
+    m = jax.lax.axis_size(axis_name)
+    (n,) = ids.shape
+    sentinel = jnp.asarray(m * rows_per_shard, ids.dtype)
+    pad = (-n) % m
+    if pad:
+        ids = jnp.concatenate([ids, jnp.full((pad,), sentinel, ids.dtype)])
+        row_grads = jnp.concatenate(
+            [row_grads, jnp.zeros((pad, row_grads.shape[-1]), row_grads.dtype)]
+        )
+    k = ids.shape[0] // m  # this shard's chunk size
+    shard_index = jax.lax.axis_index(axis_name)
+    my_ids = jax.lax.dynamic_slice_in_dim(ids, shard_index * k, k)
+    my_grads = jax.lax.dynamic_slice_in_dim(row_grads, shard_index * k, k)
+
+    # sentinel padding ids clip to owner m-1 and stay sentinel on arrival —
+    # dropped downstream like the bucket padding
+    r = _route_by_owner(my_ids, rows_per_shard, m)
+    sorted_ids = my_ids[r.order]
+    sorted_grads = my_grads[r.order]
+
+    send_ids = jnp.full((m, k), sentinel, dtype=ids.dtype)
+    send_ids = send_ids.at[r.sorted_owner, r.pos_in_bucket].set(sorted_ids)
+    send_grads = jnp.zeros((m, k, row_grads.shape[-1]), row_grads.dtype)
+    send_grads = send_grads.at[r.sorted_owner, r.pos_in_bucket].set(sorted_grads)
+
+    recv_ids = jax.lax.all_to_all(send_ids, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+    recv_grads = jax.lax.all_to_all(send_grads, axis_name, split_axis=0,
+                                    concat_axis=0, tiled=False)
+    return recv_ids.reshape(m * k), recv_grads.reshape(m * k, -1)
 
 
 def make_sharded_lookup(mesh: Mesh, strategy: str = "psum"):

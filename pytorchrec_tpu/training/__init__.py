@@ -14,6 +14,8 @@ from pytorchrec_tpu.training.checkpoint import (
     PreemptionGuard,
 )
 from pytorchrec_tpu.training.rl_trainer import RLTrainer
+from pytorchrec_tpu.training.sharded_sparse_trainer import ShardedSparseEmbeddingTrainer
+from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
 from pytorchrec_tpu.training.state import RLTrainState, TrainState
 from pytorchrec_tpu.training.trainer import Trainer
 
@@ -28,6 +30,8 @@ __all__ = [
     "ProgbarLogger",
     "Trainer",
     "RLTrainer",
+    "SparseEmbeddingTrainer",
+    "ShardedSparseEmbeddingTrainer",
     "CheckpointManager",
     "CheckpointCallback",
     "PreemptionGuard",

@@ -1,0 +1,231 @@
+"""Explicit sharded-embedding trainer: the production multi-chip sparse path.
+
+The flagship SURVEY §2.10/§5.8 recipe as a REAL ``fit()`` path, not a library
+demo: embedding tables (and their row-sparse optimizer moments) are
+row-sharded over the mesh ``model`` axis; every train step runs ONE
+``shard_map`` over the full ``(data, model)`` grid in which
+
+1. **forward lookup** — each table's batch ids ride the explicit
+   ``all_to_all`` exchange (parallel/embedding_engine.py::all_to_all_lookup)
+   to their owner shard and the gathered rows return by the reverse route;
+   the rows are injected into the model through its ``sharded_table_specs``
+   batch keys, so the model's own gather is skipped and ``d(loss)/d(rows)``
+   is the exact per-occurrence row gradient;
+2. **dense backward** — dense parameters are replicated; their grads are
+   ``pmean``'d over the ``data`` axis (classic DP) and applied by the masked
+   optax optimizer;
+3. **sparse backward** — row gradients are routed BACK to the owner shard
+   with ``all_to_all_rowgrad`` (padding slots carry an out-of-range sentinel
+   id, dropped by the scatter), deduplicated, ``all_gather``'d over the
+   ``data`` axis so every data replica applies the identical update, and
+   applied as lazy row-sparse Adam/Adagrad on the local table shard — only
+   touched rows move through HBM, exactly like the single-device
+   SparseEmbeddingTrainer (numerics parity-tested, tests/test_sharded_trainer.py).
+
+Autodiff THROUGH the lookup would instead transpose the exchange into a
+dense [V/m, E] scatter-add gradient — correct but bandwidth-catastrophic for
+large tables; keeping the backward explicit is the point of this trainer.
+
+The reference has no counterpart of any of this (single device,
+task/Task.py:187-190); ``torch.nn.Embedding`` gathers (e.g. FunkSVD.py:40-41)
+are the ops being scaled out.
+
+Models opt in via ``sharded_table_specs(batch) -> {name: {"path":
+param_path, "ids": ids (broadcast to gather positions), "rows_key": batch
+key}}`` — the CTR family (``unified_embedding=True``) and FunkSVD do. Table
+row counts must divide the model-axis size (models expose
+``table_row_multiple`` to round up).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
+
+from pytorchrec_tpu.ops.sparse_update import (
+    dedup_row_grads,
+    sparse_adagrad,
+    sparse_lazy_adam,
+)
+from pytorchrec_tpu.parallel.embedding_engine import (
+    all_to_all_lookup,
+    all_to_all_rowgrad,
+)
+from pytorchrec_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from pytorchrec_tpu.training.sparse_trainer import (
+    SparseEmbeddingTrainer,
+    _flatten,
+    _unflatten,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+
+
+class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
+    """SparseEmbeddingTrainer whose multi-chip path routes lookups and row
+    gradients through the explicit all-to-all engine inside one shard_map."""
+
+    def __init__(self, model, mesh, table_optimizer: str = "adam"):
+        assert mesh is not None, "ShardedSparseEmbeddingTrainer requires a mesh"
+        assert mesh.shape.get(MODEL_AXIS, 1) > 1, (
+            f"mesh needs a model axis > 1, got {dict(mesh.shape)} "
+            "(use SparseEmbeddingTrainer for pure data-parallel)"
+        )
+        assert hasattr(model, "sharded_table_specs"), (
+            f"{type(model).__name__} does not implement sharded_table_specs()"
+        )
+        super().__init__(model, mesh=mesh, table_optimizer=table_optimizer)
+
+    # ------------------------------------------------------------------
+    # state layout
+    # ------------------------------------------------------------------
+
+    def _declared_table_paths(self, sample_batch):
+        return {
+            spec["path"]
+            for spec in self.model.sharded_table_specs(sample_batch).values()
+        }
+
+    def _compute_state_shardings(self, sample_batch, seed):
+        """Declared tables + their moments: P(model, None); rest replicated."""
+        mesh = self.mesh
+        model_size = mesh.shape[MODEL_AXIS]
+        shape_tree = jax.eval_shape(lambda: self._make_state(sample_batch, seed))
+        table_paths = self._table_paths  # set by _make_state (via eval_shape)
+
+        def pspec(path, leaf):
+            joined = _path_str(path)
+            if any(tp in joined for tp in table_paths) and getattr(leaf, "ndim", 0) >= 1:
+                assert leaf.shape[0] % model_size == 0, (
+                    f"{joined}: {leaf.shape[0]} rows not divisible by model "
+                    f"axis {model_size}; set the model's table_row_multiple"
+                )
+                return PartitionSpec(MODEL_AXIS, *([None] * (leaf.ndim - 1)))
+            return PartitionSpec()
+
+        self._state_pspecs = jax.tree_util.tree_map_with_path(pspec, shape_tree)
+        return jax.tree_util.tree_map(
+            lambda spec: NamedSharding(mesh, spec), self._state_pspecs
+        )
+
+    # ------------------------------------------------------------------
+    # the sharded step
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self):
+        model, loss_fn = self.model, self.loss_fn
+        table_optimizer, table_lr = self.table_optimizer, self._table_lr
+        dense_tx = self._dense_tx
+        table_paths = self._table_paths
+        mesh = self.mesh
+        inv_data = 1.0 / mesh.shape[DATA_AXIS]
+
+        def step_body(state, batch):
+            # per-device view: batch sharded over data; tables/moments are
+            # this shard's rows; dense params replicated
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            # distinct dropout streams per data shard (replicated params
+            # still receive identical updates via the grad pmean)
+            step_rng = jax.random.fold_in(
+                step_rng, jax.lax.axis_index(DATA_AXIS)
+            )
+            specs = {
+                name: spec
+                for name, spec in model.sharded_table_specs(batch).items()
+                if spec["path"] in table_paths
+            }
+            flat_params = _flatten(state.params)
+
+            ids_map, rows_in = {}, {}
+            for name, spec in specs.items():
+                ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+                ids_map[name] = ids
+                shard = jax.lax.stop_gradient(flat_params[spec["path"]])
+                rows_in[name] = all_to_all_lookup(shard, ids, MODEL_AXIS)
+
+            def compute_loss(params, rows):
+                patched = dict(batch)
+                for name, spec in specs.items():
+                    patched[spec["rows_key"]] = rows[name]
+                prediction, target = model.apply(
+                    {"params": params}, patched, train=True,
+                    rngs={"dropout": step_rng},
+                )
+                return loss_fn(prediction, target)
+
+            loss, (dense_grads, row_grads) = jax.value_and_grad(
+                compute_loss, argnums=(0, 1)
+            )(state.params, rows_in)
+
+            # global loss = mean of per-shard means (equal local sizes)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            dense_grads = jax.lax.pmean(dense_grads, DATA_AXIS)
+            updates, opt_state = dense_tx.update(
+                dense_grads, state.opt_state, state.params
+            )
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates
+            )
+
+            step = state.step + 1
+            flat = dict(_flatten(params))
+            moments = dict(state.table_moments)
+            for name, spec in specs.items():
+                path = spec["path"]
+                shard = flat[path]
+                rows_per_shard = shard.shape[0]
+                # d(global mean)/d(row) = d(local mean)/d(row) / data_size
+                r_ids, r_rows = all_to_all_rowgrad(
+                    ids_map[name], row_grads[name] * inv_data,
+                    rows_per_shard, MODEL_AXIS,
+                )
+                # dedup before the data-axis gather (cuts its payload m-fold
+                # for duplicate-heavy batches; padding carries the sentinel)
+                g = dedup_row_grads(r_ids, r_rows)
+                all_ids = jax.lax.all_gather(g.ids, DATA_AXIS, tiled=True)
+                all_rows = jax.lax.all_gather(g.rows, DATA_AXIS, tiled=True)
+                # owner-local coordinates; the exchange sentinel maps >= V/m
+                # on every shard, so those slots drop out of the scatter
+                offset = jax.lax.axis_index(MODEL_AXIS) * rows_per_shard
+                local_ids = (all_ids - offset).astype(jnp.int32)
+                if table_optimizer == "adam":
+                    table, m, v = sparse_lazy_adam(
+                        shard, moments[path]["m"], moments[path]["v"],
+                        local_ids, all_rows, step, lr=table_lr,
+                    )
+                    flat[path] = table
+                    moments[path] = {"m": m, "v": v}
+                else:
+                    table, acc = sparse_adagrad(
+                        shard, moments[path]["acc"], local_ids, all_rows,
+                        lr=table_lr,
+                    )
+                    flat[path] = table
+                    moments[path] = {"acc": acc}
+
+            new_state = state.replace(
+                params=_unflatten(flat), opt_state=opt_state, step=step,
+                table_moments=moments,
+            )
+            return new_state, loss
+
+        return jax.shard_map(
+            step_body,
+            mesh=mesh,
+            in_specs=(self._state_pspecs, PartitionSpec(DATA_AXIS)),
+            out_specs=(self._state_pspecs, PartitionSpec()),
+            # loss/dense updates are value-replicated by construction
+            # (identical math on every shard) but not statically inferable
+            check_vma=False,
+        )
+
+    def _jit_train_step(self, train_step):
+        # shard_map already pins every layout; plain jit + donation
+        return jax.jit(self._with_precision(train_step), donate_argnums=0)

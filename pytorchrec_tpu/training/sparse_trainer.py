@@ -71,6 +71,9 @@ class SparseEmbeddingTrainer(Trainer):
         super().compile(*args, lr=lr, **kwargs)
         self._table_lr = lr
 
+    def _declared_table_paths(self, sample_batch):
+        return set(self.model.sparse_table_ids(sample_batch).keys())
+
     def _make_state(self, sample_batch, seed) -> SparseTrainState:
         root = jax.random.PRNGKey(seed)
         init_rng, state_rng = jax.random.split(root)
@@ -79,7 +82,7 @@ class SparseEmbeddingTrainer(Trainer):
         )
         params = variables["params"]
 
-        declared = set(self.model.sparse_table_ids(sample_batch).keys())
+        declared = self._declared_table_paths(sample_batch)
         flat = _flatten(params)
         # a model may declare tables it never materialized (e.g. LR's unused
         # field embeddings); keep the intersection with the real param tree

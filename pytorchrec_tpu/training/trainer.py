@@ -703,4 +703,10 @@ class Trainer:
         assert self.state is not None, "init_state() first (shapes template)"
         with open(filepath, "rb") as f:
             state_dict = pickle.load(f)
-        self.state = serialization.from_state_dict(self.state, state_dict)
+        state = serialization.from_state_dict(self.state, state_dict)
+        if self._state_shardings is not None:
+            # re-place restored host arrays onto the mesh layout (tables land
+            # row-sharded again, not host numpy)
+            state = jax.tree_util.tree_map(jax.device_put, state,
+                                           self._state_shardings)
+        self.state = state
