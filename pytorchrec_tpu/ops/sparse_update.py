@@ -11,13 +11,20 @@ Semantics = "lazy Adam" (torch ``SparseAdam``-style): moments of untouched
 rows do not decay; bias correction uses the global step. ``sparse_adagrad``
 is the Adagrad variant (the BASELINE.json sparse-table staple).
 
+Scatter efficiency: ``dedup_row_grads`` emits ids that are SORTED and (when
+``pad_id_base`` is given) strictly UNIQUE — padding slots get ascending
+out-of-range ids instead of aliasing a real row — so the moment/table
+gathers and scatters can carry ``indices_are_sorted`` / ``unique_indices``
+hints and XLA lowers them to the vectorized path instead of the serializing
+general-scatter combiner.
+
 All functions are pure and jit-friendly; tables/moments are donated by the
 caller's train step.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,18 +32,27 @@ import jax.numpy as jnp
 
 class SparseRowGrad(NamedTuple):
     """Deduplicated row gradients: ``rows[i]`` applies to ``ids[i]``;
-    ``mask[i]=0`` marks padding (applies a zero update to a safe id)."""
+    ``mask[i]=0`` marks padding. ``ids`` are sorted ascending; with
+    ``pad_id_base`` padding ids are out-of-range and strictly unique."""
 
-    ids: jnp.ndarray    # [n] int32
+    ids: jnp.ndarray    # [n] int32, sorted ascending
     rows: jnp.ndarray   # [n, E]
     mask: jnp.ndarray   # [n] 0/1
 
 
-def dedup_row_grads(ids: jnp.ndarray, dvec: jnp.ndarray) -> SparseRowGrad:
+def dedup_row_grads(ids: jnp.ndarray, dvec: jnp.ndarray,
+                    pad_id_base: Optional[int] = None) -> SparseRowGrad:
     """Combine duplicate ids by summing their row grads (static shapes).
 
     ``ids [n]``, ``dvec [n, E]`` -> SparseRowGrad with n slots; the first
     ``#unique`` slots hold summed grads, the rest are masked padding.
+
+    ``pad_id_base`` (e.g. the table's row count): padding slots get ids
+    ``pad_id_base + slot`` — out of range, strictly ascending and unique, so
+    downstream scatters may use ``mode='drop'`` with
+    ``unique_indices=indices_are_sorted=True``. Without it, padding aliases
+    the last unique id (zero update via ``mask``; only safe for
+    scatter-ADD).
     """
     n = ids.shape[0]
     order = jnp.argsort(ids)
@@ -47,14 +63,24 @@ def dedup_row_grads(ids: jnp.ndarray, dvec: jnp.ndarray) -> SparseRowGrad:
     )
     segment = jnp.cumsum(is_start) - 1  # [n], values in [0, #unique)
     rows = jax.ops.segment_sum(sorted_dvec, segment, num_segments=n)
-    # id of each segment = id at its first element; padding slots get the
-    # last unique id (harmless: masked zero update)
+    # id of each segment = id at its first element
     seg_ids = jax.ops.segment_max(sorted_ids, segment, num_segments=n)
     n_unique = segment[-1] + 1
     slot = jnp.arange(n)
     mask = (slot < n_unique).astype(dvec.dtype)
-    safe_ids = jnp.where(slot < n_unique, seg_ids, sorted_ids[-1]).astype(jnp.int32)
-    return SparseRowGrad(ids=safe_ids, rows=rows, mask=mask)
+    if pad_id_base is None:
+        # padding slots alias the last unique id (harmless for masked ADD)
+        safe_ids = jnp.where(slot < n_unique, seg_ids, sorted_ids[-1])
+    else:
+        safe_ids = jnp.where(slot < n_unique, seg_ids, pad_id_base + slot)
+    return SparseRowGrad(ids=safe_ids.astype(jnp.int32), rows=rows, mask=mask)
+
+
+def _take_rows(array: jnp.ndarray, ids: jnp.ndarray,
+               sorted_unique: bool) -> jnp.ndarray:
+    return jnp.take(array, ids, axis=0, mode="clip",
+                    indices_are_sorted=sorted_unique,
+                    unique_indices=sorted_unique)
 
 
 def sparse_lazy_adam(
@@ -70,11 +96,11 @@ def sparse_lazy_adam(
     eps: float = 1e-8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Row-sparse Adam: returns (table, m, v) with only touched rows changed."""
-    g = dedup_row_grads(ids, dvec)
+    g = dedup_row_grads(ids, dvec, pad_id_base=table.shape[0])
     mask = g.mask[:, None]
 
-    m_rows = m[g.ids]
-    v_rows = v[g.ids]
+    m_rows = _take_rows(m, g.ids, True)
+    v_rows = _take_rows(v, g.ids, True)
     new_m = b1 * m_rows + (1.0 - b1) * g.rows
     new_v = b2 * v_rows + (1.0 - b2) * jnp.square(g.rows)
 
@@ -83,12 +109,11 @@ def sparse_lazy_adam(
     v_hat = new_v / (1.0 - b2 ** step)
     delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
 
-    # masked scatter: padding slots write a zero delta to a safe row.
-    # mode='drop' additionally lets callers pass OUT-OF-RANGE sentinel ids
-    # (the sharded trainer's exchange padding) — those updates vanish.
-    table = table.at[g.ids].add(-delta * mask, mode="drop")
-    m = m.at[g.ids].add((new_m - m_rows) * mask, mode="drop")
-    v = v.at[g.ids].add((new_v - v_rows) * mask, mode="drop")
+    # sorted-unique scatters; padding ids are out of range -> dropped
+    flags = dict(mode="drop", indices_are_sorted=True, unique_indices=True)
+    table = table.at[g.ids].add(-delta * mask, **flags)
+    m = m.at[g.ids].add((new_m - m_rows) * mask, **flags)
+    v = v.at[g.ids].add((new_v - v_rows) * mask, **flags)
     return table, m, v
 
 
@@ -101,11 +126,12 @@ def sparse_adagrad(
     eps: float = 1e-10,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row-sparse Adagrad: returns (table, accumulator)."""
-    g = dedup_row_grads(ids, dvec)
+    g = dedup_row_grads(ids, dvec, pad_id_base=table.shape[0])
     mask = g.mask[:, None]
-    acc_rows = accum[g.ids]
+    acc_rows = _take_rows(accum, g.ids, True)
     new_acc = acc_rows + jnp.square(g.rows)
     delta = lr * g.rows / (jnp.sqrt(new_acc) + eps)
-    table = table.at[g.ids].add(-delta * mask, mode="drop")
-    accum = accum.at[g.ids].add((new_acc - acc_rows) * mask, mode="drop")
+    flags = dict(mode="drop", indices_are_sorted=True, unique_indices=True)
+    table = table.at[g.ids].add(-delta * mask, **flags)
+    accum = accum.at[g.ids].add((new_acc - acc_rows) * mask, **flags)
     return table, accum

@@ -58,13 +58,22 @@ def _unflatten(flat):
 class SparseEmbeddingTrainer(Trainer):
     """Trainer with row-sparse table updates (lazy Adam or Adagrad)."""
 
-    def __init__(self, model, mesh=None, table_optimizer: str = "adam"):
+    def __init__(self, model, mesh=None, table_optimizer: str = "adam",
+                 rows_injection: bool = None):
         assert hasattr(model, "sparse_table_ids"), (
             f"{type(model).__name__} does not implement sparse_table_ids()"
         )
         assert table_optimizer in ("adam", "adagrad"), table_optimizer
         super().__init__(model, mesh=mesh)
         self.table_optimizer = table_optimizer
+        # rows injection (via the model's sharded_table_specs protocol) feeds
+        # externally-gathered rows straight into the model, so the train
+        # graph carries NO scatter-patch: one gather fwd, row grads bwd.
+        # The patch path scatter-SETs the rows into a stop-grad table copy
+        # whose transpose is a second large scatter — measurably slower.
+        # None = auto-resolve at init_state (every declared table must be
+        # injectable, else fall back to the patch path).
+        self.rows_injection = rows_injection
         self._table_lr = None
 
     def compile(self, *args, lr: float = 1e-3, **kwargs):
@@ -90,6 +99,18 @@ class SparseEmbeddingTrainer(Trainer):
         if declared - table_paths:
             logger.info("ignoring absent tables: %s", sorted(declared - table_paths))
         self._table_paths = table_paths
+
+        if self.rows_injection is None:
+            self.rows_injection = False
+            if hasattr(self.model, "sharded_table_specs"):
+                try:
+                    spec_paths = {
+                        s["path"]
+                        for s in self.model.sharded_table_specs(sample_batch).values()
+                    }
+                    self.rows_injection = table_paths <= spec_paths
+                except AssertionError:  # e.g. CTR without unified_embedding
+                    pass
 
         # dense optimizer skips the table leaves
         import optax
@@ -123,20 +144,42 @@ class SparseEmbeddingTrainer(Trainer):
 
         table_paths = self._table_paths
 
+        inject = self.rows_injection
+
         def train_step(state: SparseTrainState, batch):
             step_rng = jax.random.fold_in(state.rng, state.step)
-            ids_map = {
-                path: jnp.asarray(ids).reshape(-1).astype(jnp.int32)
-                for path, ids in model.sparse_table_ids(batch).items()
-                if path in table_paths
-            }
             flat_params = _flatten(state.params)
+            if inject:
+                specs = {
+                    spec["path"]: spec
+                    for spec in model.sharded_table_specs(batch).values()
+                    if spec["path"] in table_paths
+                }
+                ids_map = {
+                    path: jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+                    for path, spec in specs.items()
+                }
+            else:
+                ids_map = {
+                    path: jnp.asarray(ids).reshape(-1).astype(jnp.int32)
+                    for path, ids in model.sparse_table_ids(batch).items()
+                    if path in table_paths
+                }
             rows_in = {
                 path: jax.lax.stop_gradient(flat_params[path])[ids]
                 for path, ids in ids_map.items()
             }
 
             def compute_loss(params, rows):
+                if inject:
+                    patched_batch = dict(batch)
+                    for path, spec in specs.items():
+                        patched_batch[spec["rows_key"]] = rows[path]
+                    prediction, target = model.apply(
+                        {"params": params}, patched_batch, train=True,
+                        rngs={"dropout": step_rng},
+                    )
+                    return loss_fn(prediction, target)
                 flat = dict(_flatten(params))
                 for path, ids in ids_map.items():
                     base = jax.lax.stop_gradient(flat[path])

@@ -328,3 +328,53 @@ def test_sparse_first_step_equals_dense_everywhere(dataset_dir):
                     jax.tree_util.tree_leaves(sparse)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_rows_injection_matches_patch_path(dataset_dir):
+    """The injection fast path (no scatter-patch in the train graph) is
+    numerically equivalent to the patch path: same params + moments after
+    2 epochs of FM training (relu-free model -> tight tolerance)."""
+    from pytorchrec_tpu.tasks import build_model
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+
+    def run(inject):
+        reader = _reader()
+        model = build_model("fm", reader, emb_size=8, unified_embedding=True)
+        t = SparseEmbeddingTrainer(model, rows_injection=inject)
+        t.compile(optimizer="adam", lr=0.05, loss="bce", metrics=("hit@5",),
+                  user_sample_n=10)
+        t.fit(reader, batch_size=32, epochs=2, verbose=0, eval_dev=False,
+              seed=11)
+        assert t.rows_injection is inject
+        return t
+
+    patch = run(False)
+    inj = run(True)
+    for a, b in zip(jax.tree_util.tree_leaves(patch.state.params),
+                    jax.tree_util.tree_leaves(inj.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(patch.state.table_moments),
+                    jax.tree_util.tree_leaves(inj.state.table_moments)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_rows_injection_auto_resolution(dataset_dir):
+    """Auto mode: on for unified CTR (all tables injectable), off for the
+    per-field layout (sharded_table_specs asserts)."""
+    from pytorchrec_tpu.tasks import build_model
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+
+    reader = _reader()
+    for unified, expected in ((True, True), (False, False)):
+        model = build_model("fm", reader, emb_size=8, unified_embedding=unified)
+        t = SparseEmbeddingTrainer(model)
+        t.compile(optimizer="adam", lr=0.05, loss="bce", metrics=("hit@5",),
+                  user_sample_n=10)
+        batch = reader.get_batch("train", np.arange(4))
+        t.init_state(batch, seed=0)
+        assert t.rows_injection is expected, (unified, t.rows_injection)
+        # one step runs on whichever path resolved
+        loss = t._train_step(batch)
+        assert np.isfinite(float(loss))
