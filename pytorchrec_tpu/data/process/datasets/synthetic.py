@@ -49,6 +49,8 @@ def generate_synthetic_ml(
     positive_rate_threshold: int = 4,
     seed: int = 2020,
     sequential_strength: float = 0.0,
+    markov_strength: float = 0.0,
+    n_clusters: int = 20,
 ) -> str:
     """MovieLens-like dataset: 1-based uid/iid (0 reserved for PAD), rows
     sorted by (uid, time), label = rate >= threshold.
@@ -57,6 +59,17 @@ def generate_synthetic_ml(
     positive raises the affinity of the previous item's latent neighbors, so
     session models (GRU4Rec/SASRec/DIN) have order structure to exploit —
     with 0 the preference is static and only factorization models can win.
+
+    ``markov_strength > 0`` plants structure in the item CHOICE itself (not
+    just the rating): items belong to ``n_clusters`` clusters with a fixed
+    successor permutation, and each interaction follows the previous item's
+    successor cluster with probability ``markov_strength`` (else uniform).
+    Followed transitions get a rating bonus so the chain survives in the
+    positive history. Under leave-k-out ranking eval the held-out item's
+    cluster is therefore PREDICTABLE from history order — sequence models
+    can localize ~n_items/n_clusters candidates while factorization models
+    see only the (weak) static affinity. This is the discriminative
+    benchmark for the sequence zoo.
     """
     rng = np.random.default_rng(seed)
 
@@ -67,10 +80,54 @@ def generate_synthetic_ml(
     # simple latent preference structure so models can actually learn
     user_vec = rng.normal(size=(n_users + 1, 4))
     item_vec = rng.normal(size=(n_items + 1, 4))
+    if markov_strength > 0:
+        item_cluster = rng.integers(0, n_clusters, size=n_items + 1)
+        cluster_items = [np.flatnonzero(item_cluster[1:] == c) + 1
+                         for c in range(n_clusters)]
+        # every cluster must be non-empty for the chain to be followable
+        assert all(len(ci) > 0 for ci in cluster_items), (
+            f"n_items={n_items} too small for n_clusters={n_clusters}")
+        succ = rng.permutation(n_clusters)
     for uid in range(1, n_users + 1):
         n = int(rng.integers(min_interactions, max_interactions + 1))
-        iids = rng.choice(np.arange(1, n_items + 1), size=n, replace=False)
+        followed = np.zeros(n, dtype=bool)
+        if markov_strength > 0:
+            seq = np.empty(n, dtype=np.int64)
+            used = set()
+
+            def _draw(pool):
+                # rejection-sample a few times to keep (uid, iid) pairs
+                # unique; fall back to a duplicate rather than loop forever
+                for _ in range(10):
+                    cand = int(pool[rng.integers(len(pool))])
+                    if cand not in used:
+                        return cand
+                return None
+
+            all_items = np.arange(1, n_items + 1)
+            cur = int(rng.integers(1, n_items + 1))
+            seq[0] = cur
+            used.add(cur)
+            for t in range(1, n):
+                nxt = None
+                if rng.random() < markov_strength:
+                    pool = cluster_items[succ[item_cluster[cur]]]
+                    nxt = _draw(pool)
+                    followed[t] = nxt is not None
+                if nxt is None:
+                    nxt = _draw(all_items)
+                    if nxt is None:
+                        nxt = int(rng.integers(1, n_items + 1))
+                seq[t] = nxt
+                used.add(nxt)
+                cur = nxt
+            iids = seq
+        else:
+            iids = rng.choice(np.arange(1, n_items + 1), size=n, replace=False)
         affinity = (user_vec[uid] * item_vec[iids]).sum(axis=1)
+        # chain-following steps rate positive so pos_his carries the chain
+        # (+2.5 puts ~80% of followed steps above the rating threshold)
+        affinity = affinity + 2.5 * followed
         if sequential_strength > 0:
             # order-dependent term: similarity of each item to its
             # predecessor's latent vector (first item keeps its base score)

@@ -129,8 +129,27 @@ class LogLoss(Metric):
         return float(jnp.mean(loss))
 
 
+class MSE(Metric):
+    """Pointwise mean squared error on raw predictions (the reference's only
+    point-wise training loss is ``MSELoss`` — loss/losses.py:8-12; this is
+    its eval twin for sequential-split regression protocols)."""
+
+    name = "mse"
+
+    def __init__(self, user_sample_n: int = 1):
+        super().__init__(user_sample_n)
+
+    def fast_calc(self, pos_ranks):  # pragma: no cover - not rank based
+        raise NotImplementedError("MSE is computed from (prediction, target)")
+
+    def __call__(self, prediction, target):
+        pred = jnp.asarray(prediction).reshape(-1)
+        labels = jnp.asarray(target).reshape(-1)
+        return float(jnp.mean(jnp.square(pred - labels)))
+
+
 RANK_METRICS = {"ndcg": NDCG, "hit": Hit}
-POINTWISE_METRICS = {"auc": AUC, "logloss": LogLoss}
+POINTWISE_METRICS = {"auc": AUC, "logloss": LogLoss, "mse": MSE}
 
 
 def get_metric(metric_name: str, user_sample_n: int = 100) -> Metric:

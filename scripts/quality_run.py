@@ -24,6 +24,10 @@ def main():
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--epochs", type=int, default=30)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--sequential", action="store_true",
+                        help="run on the Markov-structured dataset where the "
+                             "next item's cluster is predictable from history "
+                             "order — sequence models should WIN here")
     args = parser.parse_args()
     if args.cpu:
         import jax
@@ -36,20 +40,42 @@ def main():
     from pytorchrec_tpu.tasks import RepeatTask
     from pytorchrec_tpu.utils import constants as C
 
-    dataset = "Synthetic-ML-Quality"
-    if not os.path.exists(os.path.join(C.dataset_dir(), dataset)):
-        generate_synthetic_ml(dataset, n_users=500, n_items=1000,
-                              min_interactions=30, max_interactions=80, seed=42)
-
-    configs = [
-        ("funksvd", {"emb_size": 64}, "bpr", TrainMode.PAIR_WISE, {}),
-        ("ncf", {"emb_size": 32, "layers": (32,)}, "bpr", TrainMode.PAIR_WISE, {}),
-        ("fm", {"emb_size": 32}, "bpr", TrainMode.PAIR_WISE, {"load_feature": True}),
-        ("sasrec", {"emb_size": 32, "num_layers": 1, "max_his_len": 10}, "bce",
-         TrainMode.POINT_WISE, {"max_his_len": 10}),
-        ("gru4rec", {"emb_size": 32, "hidden_size": 32}, "bce",
-         TrainMode.POINT_WISE, {"max_his_len": 10}),
-    ]
+    if args.sequential:
+        dataset = "Synthetic-ML-Markov"
+        if not os.path.exists(os.path.join(C.dataset_dir(), dataset)):
+            generate_synthetic_ml(dataset, n_users=500, n_items=1000,
+                                  min_interactions=30, max_interactions=80,
+                                  seed=42, markov_strength=0.8, n_clusters=20)
+        # all pairwise-BPR: interacted-vs-random IS next-item prediction,
+        # the protocol where history order pays off
+        configs = [
+            # factorization baselines: only static affinity, should LOSE
+            ("funksvd", {"emb_size": 64}, "bpr", TrainMode.PAIR_WISE, {}),
+            ("ncf", {"emb_size": 32, "layers": (32,)}, "bpr",
+             TrainMode.PAIR_WISE, {}),
+            # sequence zoo: history order reveals the successor cluster
+            ("sasrec", {"emb_size": 32, "num_layers": 1, "max_his_len": 10},
+             "bpr", TrainMode.PAIR_WISE, {"max_his_len": 10}),
+            ("gru4rec", {"emb_size": 32, "hidden_size": 32}, "bpr",
+             TrainMode.PAIR_WISE, {"max_his_len": 10}),
+            ("din", {"emb_size": 32}, "bpr",
+             TrainMode.PAIR_WISE, {"max_his_len": 10}),
+        ]
+    else:
+        dataset = "Synthetic-ML-Quality"
+        if not os.path.exists(os.path.join(C.dataset_dir(), dataset)):
+            generate_synthetic_ml(dataset, n_users=500, n_items=1000,
+                                  min_interactions=30, max_interactions=80,
+                                  seed=42)
+        configs = [
+            ("funksvd", {"emb_size": 64}, "bpr", TrainMode.PAIR_WISE, {}),
+            ("ncf", {"emb_size": 32, "layers": (32,)}, "bpr", TrainMode.PAIR_WISE, {}),
+            ("fm", {"emb_size": 32}, "bpr", TrainMode.PAIR_WISE, {"load_feature": True}),
+            ("sasrec", {"emb_size": 32, "num_layers": 1, "max_his_len": 10}, "bce",
+             TrainMode.POINT_WISE, {"max_his_len": 10}),
+            ("gru4rec", {"emb_size": 32, "hidden_size": 32}, "bce",
+             TrainMode.POINT_WISE, {"max_his_len": 10}),
+        ]
     rows = []
     for model_name, hp, loss, mode, extra_reader in configs:
         task = RepeatTask(

@@ -34,13 +34,37 @@ HIS_LEN = 10
 DATASET = "Parity-ML"
 
 # model name -> (our model_kwargs, our reader extra, reference builder)
-MODELS = ["funksvd", "ncf", "gru4rec", "sasrec", "svdpp"]
+# suffixed configs: "funksvd-top1" trains with Top1 loss (loss/Top1Loss.py),
+# "funksvd-seqsplit" uses SEQUENTIAL_SPLIT + point-wise BCE and compares test
+# logloss (neither stack joins ranking candidates outside leave-k-out —
+# SimpleDataReader.py:155-156 gates _load_neg_sample on LEAVE_K_OUT)
+MODELS = ["funksvd", "ncf", "gru4rec", "sasrec", "svdpp", "funksvd-top1",
+          "funksvd-seqsplit"]
 SVDPP_LIMIT = 64
 
 
 def run_ours(model_name: str, seed: int):
     from pytorchrec_tpu.data.schema import SplitMode, TrainMode
     from pytorchrec_tpu.tasks import Task
+
+    model_name, _, variant = model_name.partition("-")
+    if variant == "seqsplit":
+        # point-wise MSE regression — the reference's only point-wise loss
+        # is MSELoss (loss/losses.py:8-12), so that's the common protocol
+        task = Task.from_config(
+            model_name, DATASET,
+            reader_kwargs={"split_mode": SplitMode.SEQUENTIAL_SPLIT,
+                           "warm_n": 5, "vt_ratio": 0.1,
+                           "neg_sample_n": NEG_N, "random_seed": seed},
+            model_kwargs={"emb_size": EMB},
+            random_seed=seed, metrics=["mse"],
+            monitor="mse", monitor_mode="min",
+            train_mode=TrainMode.POINT_WISE,
+            epoch=EPOCHS, batch_size=BATCH, lr=LR, loss="mse",
+            patience=EPOCHS, verbose=0, debug=True,
+        )
+        _, _, test_logs = task.run()
+        return test_logs["mse"], test_logs["mse"]
 
     reader_kwargs = {"split_mode": SplitMode.LEAVE_K_OUT, "warm_n": 5,
                      "leave_k": 1, "neg_sample_n": NEG_N, "random_seed": seed}
@@ -60,7 +84,8 @@ def run_ours(model_name: str, seed: int):
         random_seed=seed,
         metrics=["ndcg@10", "hit@10"],
         train_mode=TrainMode.PAIR_WISE,
-        epoch=EPOCHS, batch_size=BATCH, lr=LR, loss="bpr",
+        epoch=EPOCHS, batch_size=BATCH, lr=LR,
+        loss="top1" if variant == "top1" else "bpr",
         patience=EPOCHS, verbose=0, debug=True,
     )
     _, _, test_logs = task.run()
@@ -88,6 +113,10 @@ def run_reference(model_name: str, seed: int):
     """Train the reference stack, faithfully mirroring Task.run
     (task/Task.py:212-272) minus file artifacts."""
     import torch
+
+    model_name, _, variant = model_name.partition("-")
+    if variant == "seqsplit":
+        return _run_reference_seqsplit(model_name, seed)
 
     from torchrec.data.SimpleDataReader import SimpleDataReader
     from torchrec.data.HistoryDataReader import HistoryDataReader
@@ -146,10 +175,12 @@ def run_reference(model_name: str, seed: int):
                         his_column=columns[POS_HIS],
                         label_column=columns[LABEL], emb_size=EMB,
                         hidden_size=EMB, random_seed=seed)
+    from torchrec.loss.Top1Loss import Top1Loss
+
     metrics = [NDCG(1 + NEG_N, 10), Hit(1 + NEG_N, 10)]
     model.compile(
         optimizer=torch.optim.Adam(model.get_parameters(), lr=LR),
-        loss=BPRLoss(),
+        loss=Top1Loss() if variant == "top1" else BPRLoss(),
         metrics=metrics,
         device=torch.device("cpu"),
     )
@@ -166,6 +197,71 @@ def run_reference(model_name: str, seed: int):
     test_logs = model.evaluate(dataset=TestDataset(reader), batch_size=BATCH,
                                verbose=0, callbacks=None, workers=0)
     return float(test_logs["ndcg@10"]), float(test_logs["hit@10"])
+
+
+def _run_reference_seqsplit(model_name: str, seed: int):
+    """Reference FunkSVD under SEQUENTIAL_SPLIT + point-wise MSE: train the
+    unmodified stack, score the test split, return test MSE (twice, to match
+    the (metric_a, metric_b) tuple shape of the ranking configs)."""
+    import numpy as np
+    import torch
+
+    from torchrec.data.SimpleDataReader import SimpleDataReader
+    from torchrec.data.adapter.TrainDataset import TrainDataset
+    from torchrec.data.adapter.DevDataset import DevDataset
+    from torchrec.data.adapter.TestDataset import TestDataset
+    from torchrec.data.dataset import SplitMode
+    from torchrec.loss.losses import MSELoss
+    from torchrec.metric.NDCG import NDCG
+    from torchrec.model.FunkSVD import FunkSVD
+    from torchrec.task import TrainMode
+    from torchrec.utils.const import UID, IID, LABEL
+
+    assert model_name == "funksvd", model_name
+    reader = SimpleDataReader(
+        dataset=DATASET, split_mode=SplitMode.SEQUENTIAL_SPLIT, warm_n=5,
+        vt_ratio=0.1, leave_k=1, neg_sample_n=NEG_N, load_feature=False,
+        append_id=False, train_mode=TrainMode.POINT_WISE, random_seed=seed,
+    )
+    columns = reader.get_feature_column_dict()
+    model = FunkSVD(uid_column=columns[UID], iid_column=columns[IID],
+                    label_column=columns[LABEL], emb_size=EMB,
+                    random_seed=seed)
+    # MetricList requires >=1 metric (MetricList.py:8); the ranking metric
+    # can't score sequential-split scalar rows, so dev_freq > epochs skips
+    # dev eval entirely — both stacks then compare final-epoch test MSE
+    # (our side trains patience == epochs, so selection matches)
+    model.compile(
+        optimizer=torch.optim.Adam(model.get_parameters(), lr=LR),
+        loss=MSELoss(), metrics=[NDCG(1 + NEG_N, 10)],
+        device=torch.device("cpu"),
+    )
+    # best-dev-epoch selection to mirror our ModelCheckpoint(monitor=mse,
+    # mode=min): one fit() call per epoch, dev MSE via predict, keep the
+    # best state_dict, restore before the test pass
+    import copy
+
+    def _mse(dataset, labels):
+        pred = model.predict(dataset=dataset, batch_size=BATCH,
+                             verbose=0, callbacks=None, workers=0)
+        return float(np.mean((np.asarray(pred).reshape(-1) - labels) ** 2))
+
+    dev_labels = reader.dev_df[LABEL].to_numpy().astype(np.float64)
+    best_mse, best_state = float("inf"), None
+    for _ in range(EPOCHS):
+        model.fit(
+            dataset=TrainDataset(reader), batch_size=BATCH, epochs=1,
+            dev_dataset=DevDataset(reader), train_mode=TrainMode.POINT_WISE,
+            verbose=0, callbacks=None, shuffle=True, workers=0,
+            drop_last=True, dev_freq=2,
+        )
+        dev_mse = _mse(DevDataset(reader), dev_labels)
+        if dev_mse < best_mse:
+            best_mse, best_state = dev_mse, copy.deepcopy(model.state_dict())
+    model.load_state_dict(best_state)
+    labels = reader.test_df[LABEL].to_numpy().astype(np.float64)
+    mse = _mse(TestDataset(reader), labels)
+    return mse, mse
 
 
 def main():
@@ -198,11 +294,13 @@ def main():
 
     for model_name in models:
         ours, theirs = results[model_name]["ours"], results[model_name]["ref"]
-        print(f"[{model_name}] build     ndcg@10 {stats(ours, 0)}  hit@10 {stats(ours, 1)}")
-        print(f"[{model_name}] reference ndcg@10 {stats(theirs, 0)}  hit@10 {stats(theirs, 1)}")
+        a, b = (("mse", "mse") if model_name.endswith("-seqsplit")
+                else ("ndcg@10", "hit@10"))
+        print(f"[{model_name}] build     {a} {stats(ours, 0)}  {b} {stats(ours, 1)}")
+        print(f"[{model_name}] reference {a} {stats(theirs, 0)}  {b} {stats(theirs, 1)}")
         diff = abs(np.mean([r[0] for r in ours]) - np.mean([r[0] for r in theirs]))
         spread = max(np.std([r[0] for r in ours]), np.std([r[0] for r in theirs]))
-        print(f"[{model_name}] ndcg@10 mean diff {diff:.4f} vs seed spread {spread:.4f} "
+        print(f"[{model_name}] {a} mean diff {diff:.4f} vs seed spread {spread:.4f} "
               f"-> {'PARITY' if diff <= max(2 * spread, 0.01) else 'DIVERGENT'}")
 
 

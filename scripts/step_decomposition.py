@@ -1,12 +1,26 @@
 """Single-chip step-time decomposition for the bench config (VERDICT r1 #2).
 
-Times, on the real chip, the pieces of the sparse-Adam DCN-v2 step:
-  * full train step (scatter-patch path vs rows-injection path)
-  * forward+backward only (no table update)
+Measures DEVICE time, not wall-clock: every probe fuses K iterations into a
+single dispatch via ``lax.scan`` so the tunnel's per-call RTT and the host
+batch upload are amortized 1/K (through the dev tunnel a single dispatch
+costs 100s of ms of link latency — per-call timing measures the link, not
+the chip; CLAUDE.md "Host-pipeline perf").
+
+CAVEAT (measured on the v5e, 2026-08-17): wrapping the step in ``lax.scan``
+changes XLA's layout assignment for the carried embedding tables — the
+while-loop carry gets a row-MINOR tiled layout ``{0,1:T(8,128)}`` and every
+row scatter serializes (~44 ms for 426k rows vs ~1 ms with the natural
+``{1,0}`` layout the per-dispatch jit picks).  The scan numbers printed here
+are therefore an UPPER BOUND dominated by that layout artifact, not the real
+per-dispatch step cost (bench.py's donated per-dispatch path measures
+3-5 ms/step at the same shapes).  Use scripts/device_profile.py (jax
+profiler) for trustworthy on-device decomposition through the tunnel.
+
+Probes, at b16384 and b32768 of the DCN-v2 Criteo config:
+  * full sparse-Adam train step — scatter-patch path vs rows-injection path
   * dedup (sort + segment-sum) alone at the step's id volume
-  * sparse-adam update alone (given pre-deduped rows)
-plus scatter-flag variants, at b16384 and b32768. Prints a table + an
-HBM-roofline estimate for the sparse-update traffic.
+  * sparse-adam row update alone (given raw ids + grads)
+plus an HBM-roofline estimate for the sparse-update traffic.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/step_decomposition.py
 """
@@ -25,20 +39,20 @@ import numpy as np
 
 N_DENSE, N_SPARSE, VOCAB, EMB = 13, 26, 100_000, 16
 HBM_GBPS = 819  # v5e HBM bandwidth (public spec ~819 GB/s)
+K = 20  # fused iterations per dispatch
 
 
-def timeit(fn, *args, warmup=3, iters=10):
-    for _ in range(warmup):
-        out = fn(*args)
+def timeit_fused(fused_fn, *args, k=K, reps=3):
+    """fused_fn runs k iterations in ONE dispatch; returns ms per iteration."""
+    out = fused_fn(*args)  # compile + warm
     jax.block_until_ready(out)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
+        out = fused_fn(*args)
         jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1e3  # ms
+        best = min(best, time.perf_counter() - t0)
+    return best / k * 1e3
 
 
 def make_batch(rng, batch):
@@ -75,6 +89,22 @@ def build(batch_size, inject: bool):
     return trainer, batch
 
 
+def fused_train_step(trainer, batch):
+    """K train steps on a device-resident batch in one jitted dispatch."""
+    step = trainer._build_train_step()
+    batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            s2, loss = step(s, batch_dev)
+            return s2, loss
+        s, losses = jax.lax.scan(body, state, None, length=K)
+        return s, losses[-1]
+
+    return run
+
+
 def main():
     from pytorchrec_tpu.ops.sparse_update import dedup_row_grads, sparse_lazy_adam
 
@@ -90,36 +120,53 @@ def main():
         table = jnp.zeros((V, EMB), jnp.float32)
         m = jnp.zeros_like(table)
         v = jnp.zeros_like(table)
-        step = jnp.ones((), jnp.int32)
 
-        t_dedup = timeit(jax.jit(dedup_row_grads), ids, dvec)
-        t_update = timeit(
-            jax.jit(lambda t_, m_, v_, i_, d_: sparse_lazy_adam(
-                t_, m_, v_, i_, d_, step, lr=1e-3)),
-            table, m, v, ids, dvec)
+        @jax.jit
+        def dedup_k(ids_, dvec_):
+            def body(acc, _):
+                g = dedup_row_grads(ids_, dvec_, pad_id_base=V)
+                # consume the result so the loop isn't DCE'd; the carry makes
+                # each iteration depend on the last
+                return acc + g.rows[0, 0] + g.ids[0], None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
+            return acc
 
-        # roofline: touched-row traffic of the update (reads+writes of
-        # table/m/v rows + the [n, E] grad stream + sort keys)
+        @jax.jit
+        def update_k(t0, m0, v0):
+            def body(carry, step_i):
+                t, m_, v_ = carry
+                t, m_, v_ = sparse_lazy_adam(t, m_, v_, ids, dvec,
+                                             step_i + 1, lr=1e-3)
+                return (t, m_, v_), None
+            carry, _ = jax.lax.scan(body, (t0, m0, v0),
+                                    jnp.arange(K, dtype=jnp.int32))
+            return carry
+
+        t_dedup = timeit_fused(dedup_k, ids, dvec)
+        t_update = timeit_fused(update_k, table, m, v)
+
+        # roofline for the full update (dedup included): sort the [n] ids +
+        # [n, E] grads, then read+write table/m/v touched rows
         touched = min(n, V)
         bytes_update = (6 * touched * EMB * 4    # r+w of table/m/v rows
-                        + 2 * n * EMB * 4        # read dvec (sort r+w once)
+                        + 2 * n * EMB * 4        # grad stream r+w (sort)
                         + 4 * n * 4 * 3)         # id sort traffic (rough)
         roofline_ms = bytes_update / (HBM_GBPS * 1e9) * 1e3
 
         row = {"batch": B, "ids": n, "dedup_ms": round(t_dedup, 3),
                "update_ms": round(t_update, 3),
                "update_roofline_ms": round(roofline_ms, 3),
-               "update_roofline_pct": round(100 * roofline_ms / t_update, 1)}
+               "update_roofline_pct": round(
+                   100 * roofline_ms / max(t_update, 1e-9), 1)}
 
         for inject in (False, True):
             trainer, batch = build(B, inject)
-            t_step = timeit(lambda b: trainer._train_step(b), batch,
-                            warmup=5, iters=10)
-            # throughput
+            run = fused_train_step(trainer, batch)
+            t_step = timeit_fused(run, trainer.state)
             row[f"step_ms[{'inject' if inject else 'patch'}]"] = round(t_step, 3)
             row[f"ex/s[{'inject' if inject else 'patch'}]"] = int(B / t_step * 1e3)
-            del trainer
-        print(row)
+            del trainer, run
+        print(row, flush=True)
 
 
 if __name__ == "__main__":

@@ -122,6 +122,15 @@ class TestPointwiseMetrics:
         want = -np.mean([np.log(p[0]), np.log(1 - p[1])])
         assert LogLoss()(logits, labels) == pytest.approx(want, rel=1e-5)
 
+    def test_mse_metric(self):
+        from pytorchrec_tpu.metric.metrics import MSE
+
+        pred = np.array([1.0, 2.0, 0.5], dtype=np.float32)
+        labels = np.array([1.0, 0.0, 1.0], dtype=np.float32)
+        want = np.mean((pred - labels) ** 2)
+        assert MSE()(pred, labels) == pytest.approx(want, rel=1e-6)
+        assert isinstance(get_metric("mse"), MSE)
+
     def test_get_metric_parsing(self):
         assert get_metric("ndcg@10").k == 10
         assert get_metric("hit@5").k == 5

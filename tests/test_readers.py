@@ -173,3 +173,50 @@ def test_sequential_split_mode_scalar_iids(dataset):
     reader = make_reader(dataset, split_mode=SplitMode.SEQUENTIAL_SPLIT)
     dev = reader.get_dev_batch(np.arange(min(8, reader.get_dev_dataset_size())))
     assert dev[C.IID].ndim == 1  # no candidate join in sequential mode
+
+
+def test_markov_generator_plants_followable_chain(work_dir):
+    """markov_strength plants successor-cluster structure in the item CHOICE:
+    consecutive interactions land in the successor cluster far above the
+    uniform-chance rate, and the chain survives in the positive subset."""
+    import pandas as pd
+
+    from pytorchrec_tpu.data.process.datasets.synthetic import (
+        generate_synthetic_ml,
+    )
+
+    n_items, n_clusters, strength = 300, 10, 0.8
+    out = generate_synthetic_ml(
+        "Markov-ML", n_users=80, n_items=n_items, seed=5,
+        markov_strength=strength, n_clusters=n_clusters,
+    )
+    df = pd.read_feather(f"{out}/{C.BASE_INTERACTION_FEATHER}")
+
+    # reconstruct the generator's cluster assignment + successor permutation:
+    # same seed, same draw order (user/item latent vecs first)
+    rng = np.random.default_rng(5)
+    rng.normal(size=(80 + 1, 4))
+    rng.normal(size=(n_items + 1, 4))
+    item_cluster = rng.integers(0, n_clusters, size=n_items + 1)
+    succ = rng.permutation(n_clusters)
+
+    def follow_rate(frame):
+        hits = total = 0
+        for _, g in frame.groupby(C.UID):
+            iids = g.sort_values(C.TIME)[C.IID].to_numpy()
+            cur, nxt = item_cluster[iids[:-1]], item_cluster[iids[1:]]
+            hits += int((succ[cur] == nxt).sum())
+            total += len(iids) - 1
+        return hits / max(total, 1)
+
+    rate_all = follow_rate(df)
+    # uniform chance would be ~1/n_clusters = 0.1
+    assert rate_all > 0.5, rate_all
+    # the rating bonus keeps the chain visible among positives
+    rate_pos = follow_rate(df[df[C.LABEL] == 1])
+    assert rate_pos > 0.3, rate_pos
+    # without the flag, no structure
+    out0 = generate_synthetic_ml("Markov-ML-Off", n_users=80, n_items=n_items,
+                                 seed=5)
+    df0 = pd.read_feather(f"{out0}/{C.BASE_INTERACTION_FEATHER}")
+    assert follow_rate(df0) < 0.25
