@@ -24,6 +24,13 @@ def read_items(dataset_name: str) -> pd.DataFrame:
 
 
 def save_index_array(directory: str, npy_name: str, array: np.ndarray) -> None:
+    """Write the split-index artifact as ``.npy`` plus a human-readable
+    ``.csv`` twin, matching the reference's dual format (tab-separated ints;
+    sequential_split.py:85-88, leave_k_out_split.py:89-91)."""
     assert array.dtype == np.int32, array.dtype
     os.makedirs(directory, exist_ok=True)
     np.save(os.path.join(directory, npy_name), array)
+    assert npy_name.endswith(".npy"), npy_name
+    csv_name = npy_name[: -len(".npy")] + ".csv"
+    np.savetxt(os.path.join(directory, csv_name), array, delimiter="\t",
+               fmt="%d")

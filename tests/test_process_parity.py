@@ -59,6 +59,15 @@ class TestSplitParity:
             got = np.load(os.path.join(ours, C.SPLIT_INDEX_DIR, template % name))
             want = np.load(os.path.join(ref_root, "Dataset", DATASET, "SPLIT_INDEX", template % name))
             np.testing.assert_array_equal(got, want)
+            # the human-readable CSV twin is byte-identical too
+            # (reference sequential_split.py:85-88)
+            csv = (template % name)[:-len(".npy")] + ".csv"
+            with open(os.path.join(ours, C.SPLIT_INDEX_DIR, csv), "rb") as f:
+                got_csv = f.read()
+            with open(os.path.join(ref_root, "Dataset", DATASET,
+                                   "SPLIT_INDEX", csv), "rb") as f:
+                want_csv = f.read()
+            assert got_csv == want_csv
 
     def test_leave_k_out_split(self, dual_dirs, monkeypatch):
         ours, ref_root = dual_dirs
