@@ -6,9 +6,8 @@ Capability parity with the reference callback layer
 (CallbackList.py:23-229), History best-epoch selection (History.py:26-40),
 ModelCheckpoint (ModelCheckpoint.py:50-98), EarlyStopping
 (EarlyStopping.py:28-85), CSVLogger (CSVLogger.py:27-65), TerminateOnNaN
-(TerminateOnNaN.py:11-20) and the Keras-style ProgbarLogger
-(ProgbarLogger.py:15-234, simplified to per-epoch line output — tqdm-style
-terminal redraw buys nothing in headless TPU jobs).
+(TerminateOnNaN.py:11-20) and the Keras-style ProgbarLogger with full
+verbose 0/1/2 semantics + live terminal redraw (ProgbarLogger.py:15-234).
 
 Differences by design: callbacks talk to the *trainer* (which owns immutable
 train state), not a mutable nn.Module; "weights" are parameter pytrees.
@@ -20,8 +19,9 @@ import collections
 import csv
 import logging
 import os
+import sys
 import time
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -57,6 +57,15 @@ class Callback:
     def on_test_end(self, logs: Optional[Logs] = None): ...
     def on_predict_begin(self, logs: Optional[Logs] = None): ...
     def on_predict_end(self, logs: Optional[Logs] = None): ...
+
+    def implements_train_batch_hooks(self) -> bool:
+        """Whether this callback wants the per-batch train hooks (reference
+        ICallback.py:86-109 introspection). Instance-level so callbacks like
+        ProgbarLogger can answer based on runtime config (verbose mode)."""
+        return (
+            type(self).on_train_batch_begin is not Callback.on_train_batch_begin
+            or type(self).on_train_batch_end is not Callback.on_train_batch_end
+        )
 
 
 class History(Callback):
@@ -135,11 +144,7 @@ class CallbackList:
         ICallback's ``implements_*_batch_hooks`` introspection,
         ICallback.py:86-109) — lets the trainer skip the per-batch
         device->host loss sync when nobody is listening."""
-        return any(
-            type(cb).on_train_batch_begin is not Callback.on_train_batch_begin
-            or type(cb).on_train_batch_end is not Callback.on_train_batch_end
-            for cb in self.callbacks
-        )
+        return any(cb.implements_train_batch_hooks() for cb in self.callbacks)
 
     def _call(self, hook: str, *args) -> None:
         for cb in self.callbacks:
@@ -208,31 +213,216 @@ class CallbackList:
         self._call("on_predict_batch_end", batch, logs)
 
 
-class ProgbarLogger(Callback):
-    """Per-epoch progress line (reference ProgbarLogger.py:15-234 simplified:
-    verbose terminal redraw is useless in headless TPU jobs; one line per
-    epoch with timing + logs)."""
+class Progbar:
+    """Keras-style terminal progress bar (reference ProgbarLogger.py:15-145).
 
-    def __init__(self, print_fn=None):
-        super().__init__()
-        self.print_fn = print_fn or (lambda s: logger.info("%s", s))
-        self._epoch_start = 0.0
+    verbose 1 renders ``N/M [=====>....] - 12s - ETA: 3s - loss: 0.6931``
+    with in-place ``\\r`` redraw on interactive terminals and throttled
+    newline snapshots otherwise; verbose 2 prints one summary line at
+    finalize. Deviations from the reference (deliberate): dynamic-display
+    detection is a plain isatty check (the reference's ``'posix' in
+    sys.modules`` test is vacuously true on linux and forces redraw codes
+    into piped logs), and the non-interactive update interval is 10s, not
+    0.05s, so headless TPU job logs stay readable.
+    """
 
-    def on_epoch_begin(self, epoch: int, logs=None):
-        self._epoch_start = time.monotonic()
-
-    def on_epoch_end(self, epoch: int, logs=None):
-        elapsed = time.monotonic() - self._epoch_start
-        epochs = self.params.get("epochs", "?")
-        parts = " - ".join(f"{k}: {self._fmt(v)}" for k, v in (logs or {}).items())
-        self.print_fn(f"Epoch {epoch + 1}/{epochs} - {elapsed:.1f}s - {parts}")
+    def __init__(
+        self,
+        target: Optional[int] = None,
+        width: int = 30,
+        verbose: int = 1,
+        interval: Optional[float] = None,
+        out=None,
+    ):
+        self.target = target
+        self.width = width
+        self.verbose = verbose
+        self.out = out if out is not None else sys.stdout
+        self._dynamic = hasattr(self.out, "isatty") and self.out.isatty()
+        self.interval = interval if interval is not None else (0.05 if self._dynamic else 10.0)
+        self.seen = 0
+        self._values: Dict[str, Any] = {}
+        self._order: List[str] = []
+        self._start = time.monotonic()
+        self._last_update = 0.0
 
     @staticmethod
-    def _fmt(value) -> str:
+    def _fmt_value(value) -> str:
         try:
-            return f"{float(value):.4f}"
+            v = float(value)
         except (TypeError, ValueError):
             return str(value)
+        return f"{v:.4f}" if abs(v) > 1e-3 else f"{v:.4e}"
+
+    def _bar(self, current: int) -> str:
+        # "  7/100 [==>...........................]" (reference ProgbarLogger.py:79-90)
+        if self.target is None:
+            return f"{current:7d}/Unknown"
+        digits = len(str(self.target))
+        filled = int(self.width * current / self.target) if self.target else self.width
+        bar = "=" * max(filled - 1, 0)
+        if filled > 0:
+            bar += "=" if current >= self.target else ">"
+        bar += "." * (self.width - filled)
+        return f"{current:{digits}d}/{self.target} [{bar}]"
+
+    @staticmethod
+    def _fmt_eta(eta: float) -> str:
+        if eta > 3600:
+            return "%d:%02d:%02d" % (eta // 3600, (eta % 3600) // 60, eta % 60)
+        if eta > 60:
+            return "%d:%02d" % (eta // 60, eta % 60)
+        return "%ds" % eta
+
+    @staticmethod
+    def _fmt_rate(time_per_unit: float) -> str:
+        if time_per_unit >= 1 or time_per_unit == 0:
+            return f" {time_per_unit:.0f}s/batch"
+        if time_per_unit >= 1e-3:
+            return f" {time_per_unit * 1e3:.0f}ms/batch"
+        return f" {time_per_unit * 1e6:.0f}us/batch"
+
+    def update(
+        self,
+        current: int,
+        values: Optional[List[Tuple[str, Any]]] = None,
+        finalize: Optional[bool] = None,
+    ) -> None:
+        if finalize is None:
+            finalize = self.target is not None and current >= self.target
+        for k, v in values or []:
+            if k not in self._order:
+                self._order.append(k)
+            self._values[k] = v
+        self.seen = current
+        now = time.monotonic()
+
+        if self.verbose == 1:
+            if now - self._last_update < self.interval and not finalize:
+                return
+            elapsed = now - self._start
+            info = ("\r" if self._dynamic else "") + self._bar(current)
+            info += f" - {elapsed:.0f}s"
+            time_per_unit = elapsed / current if current else 0.0
+            if self.target is None or finalize:
+                info += self._fmt_rate(time_per_unit)
+            else:
+                info += " - ETA: " + self._fmt_eta(time_per_unit * (self.target - current))
+            for k in self._order:
+                info += f" - {k}: {self._fmt_value(self._values[k])}"
+            if self._dynamic and not finalize:
+                # pad over any leftover chars from a longer previous line
+                pad = getattr(self, "_prev_len", 0) - len(info)
+                self._prev_len = len(info)
+                info += " " * max(pad, 0)
+            else:
+                info += "\n"
+            self.out.write(info)
+            self.out.flush()
+        elif self.verbose == 2 and finalize:
+            info = self._bar(current).split(" [")[0]
+            info += f" - {now - self._start:.0f}s"
+            for k in self._order:
+                info += f" - {k}: {self._fmt_value(self._values[k])}"
+            self.out.write(info + "\n")
+            self.out.flush()
+        self._last_update = now
+
+
+class ProgbarLogger(Callback):
+    """Progress display across fit/evaluate/predict (reference
+    ProgbarLogger.py:148-234): verbose 0 = silent, 1 = live batch-level
+    progress bar, 2 = one summary line per epoch. At verbose 2 the
+    batch-level train hooks are NOT implemented, so the trainer skips the
+    per-batch device->host loss sync (CallbackList batch-hook
+    introspection) — epoch summaries come from the epoch logs."""
+
+    def __init__(self, verbose: Optional[int] = None, out=None):
+        super().__init__()
+        self._verbose_override = verbose
+        self.verbose = verbose if verbose is not None else 1
+        self.out = out
+        self.epochs = 1
+        self.target: Optional[int] = None
+        self.seen = 0
+        self.progbar: Optional[Progbar] = None
+        self._called_in_fit = False
+
+    def set_params(self, params: Dict[str, Any]) -> None:
+        super().set_params(params)
+        if self._verbose_override is None:
+            self.verbose = params.get("verbose", 1)
+        self.epochs = params.get("epochs", 1)
+        self.target = params.get("batches")
+        self._reset_progbar()
+
+    def implements_train_batch_hooks(self) -> bool:
+        return self.verbose == 1
+
+    def _reset_progbar(self) -> None:
+        self.seen = 0
+        self.progbar = Progbar(target=self.target, verbose=self.verbose, out=self.out)
+
+    def _batch_update(self, logs: Optional[Logs]) -> None:
+        if self.progbar is None:
+            self._reset_progbar()
+        logs = dict(logs or {})
+        logs.pop("batch", None)
+        self.seen += 1
+        self.progbar.update(self.seen, list(logs.items()), finalize=False)
+
+    def _finalize(self, logs: Optional[Logs]) -> None:
+        if self.progbar is None:
+            self._reset_progbar()
+        if self.target is None:
+            self.target = self.seen
+            self.progbar.target = self.seen
+        # verbose 2 never saw batch hooks; report the full epoch as done
+        current = self.seen if self.verbose == 1 else (self.target or self.seen)
+        self.progbar.update(current, list((logs or {}).items()), finalize=True)
+
+    # fit path ---------------------------------------------------------------
+    def on_train_begin(self, logs=None):
+        self._called_in_fit = True  # dev-eval inside fit stays silent
+
+    def on_epoch_begin(self, epoch: int, logs=None):
+        self._reset_progbar()
+        if self.verbose and self.epochs > 1:
+            out = self.out if self.out is not None else sys.stdout
+            out.write(f"Epoch {epoch + 1}/{self.epochs}\n")
+            out.flush()
+
+    def on_train_batch_end(self, batch: int, logs=None):
+        if self.verbose == 1:
+            self._batch_update(logs)
+
+    def on_epoch_end(self, epoch: int, logs=None):
+        if self.verbose:
+            self._finalize(logs)
+
+    # standalone evaluate/predict -------------------------------------------
+    def on_test_begin(self, logs=None):
+        if not self._called_in_fit:
+            self._reset_progbar()
+
+    def on_test_batch_end(self, batch: int, logs=None):
+        if self.verbose == 1 and not self._called_in_fit:
+            self._batch_update(logs)
+
+    def on_test_end(self, logs=None):
+        if self.verbose and not self._called_in_fit:
+            self._finalize(logs)
+
+    def on_predict_begin(self, logs=None):
+        self._reset_progbar()
+
+    def on_predict_batch_end(self, batch: int, logs=None):
+        if self.verbose == 1:
+            self._batch_update(None)  # don't render prediction payloads
+
+    def on_predict_end(self, logs=None):
+        if self.verbose:
+            self._finalize(None)
 
 
 class ModelCheckpoint(Callback):

@@ -594,7 +594,12 @@ class Trainer:
     ) -> Dict[str, float]:
         self._assert_compiled()
         if not isinstance(callbacks, CallbackList):
-            callbacks = CallbackList(callbacks, trainer=self)
+            size = getattr(reader, f"get_{split}_dataset_size")()
+            callbacks = CallbackList(
+                callbacks, add_progbar=verbose != 0, trainer=self,
+                verbose=verbose, epochs=1,
+                batches=-(-size // batch_size),
+            )
         callbacks.on_test_begin()
         predictions, targets = self._collect_predictions(
             reader, split, batch_size, callbacks, "test"
@@ -608,11 +613,17 @@ class Trainer:
         reader: DataReader,
         split: str = "test",
         batch_size: int = 256,
+        verbose: int = 0,
         callbacks: Optional[Union[List[Callback], CallbackList]] = None,
     ) -> np.ndarray:
         self._assert_compiled()
         if not isinstance(callbacks, CallbackList):
-            callbacks = CallbackList(callbacks, trainer=self)
+            size = getattr(reader, f"get_{split}_dataset_size")()
+            callbacks = CallbackList(
+                callbacks, add_progbar=verbose != 0, trainer=self,
+                verbose=verbose, epochs=1,
+                batches=-(-size // batch_size),
+            )
         callbacks.on_predict_begin()
         predictions, _ = self._collect_predictions(
             reader, split, batch_size, callbacks, "predict"

@@ -372,3 +372,89 @@ def test_export_serving_roundtrip(dataset_dir):
     assert os.path.getsize(path) > 0
     loaded = Trainer.load_serving(path)
     np.testing.assert_allclose(np.asarray(loaded(batch)), live, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ProgbarLogger verbose modes (reference ProgbarLogger.py:15-234)
+# ---------------------------------------------------------------------------
+
+def test_progbar_verbose1_renders_bar_and_rate():
+    import io
+    from pytorchrec_tpu.training.callbacks import Progbar
+
+    out = io.StringIO()
+    p = Progbar(target=10, verbose=1, interval=0.0, out=out)
+    for i in range(1, 11):
+        p.update(i, [("loss", 0.5 / i)])
+    lines = out.getvalue().splitlines()
+    assert lines[0].startswith(" 1/10 [=") and "ETA:" in lines[0]
+    assert lines[-1].startswith("10/10 [==============================]")
+    assert "/batch" in lines[-1] and "loss: 0.0500" in lines[-1]
+
+
+def test_progbar_verbose2_single_summary_line():
+    import io
+    from pytorchrec_tpu.training.callbacks import Progbar
+
+    out = io.StringIO()
+    p = Progbar(target=5, verbose=2, out=out)
+    for i in range(1, 6):
+        p.update(i, [("loss", 0.25), ("tiny", 1e-5)])
+    # only the finalize line is emitted; small values use scientific notation
+    assert out.getvalue().count("\n") == 1
+    assert "loss: 0.2500" in out.getvalue() and "1.0000e-05" in out.getvalue()
+
+
+def test_progbar_logger_hook_introspection():
+    """verbose=1 implements batch hooks (live bar needs per-batch loss);
+    verbose=2/0 must NOT, so the trainer can skip per-batch host syncs."""
+    import io
+    from pytorchrec_tpu.training.callbacks import CallbackList, ProgbarLogger
+
+    for verbose, expect in [(1, True), (2, False), (0, False)]:
+        cl = CallbackList(
+            [ProgbarLogger(out=io.StringIO())],
+            verbose=verbose, epochs=1, batches=3,
+        )
+        assert cl.implements_train_batch_hooks() is expect
+
+
+def test_fit_verbose_modes_output(dataset_dir):
+    """End-to-end: verbose=1 shows epoch headers + live bar lines, verbose=2
+    one summary line per epoch; dev-eval inside fit stays silent."""
+    import io
+    from pytorchrec_tpu.training.callbacks import ProgbarLogger
+
+    reader = make_reader()
+    for verbose in (1, 2):
+        out = io.StringIO()
+        trainer = make_trainer(reader)
+        trainer.fit(
+            reader, batch_size=32, epochs=2, verbose=verbose, dev_freq=1,
+            callbacks=[ProgbarLogger(out=out)],
+        )
+        text = out.getvalue()
+        assert "Epoch 1/2" in text and "Epoch 2/2" in text
+        assert "loss:" in text and "ndcg@5:" in text
+        # dev evaluate inside fit must not start its own progbar: every
+        # rendered progress line carries the epoch logs, none are bare
+        # eval-only finalizations beyond the two epochs
+        final_lines = [l for l in text.splitlines() if l.strip() and "Epoch" not in l]
+        if verbose == 2:
+            assert len(final_lines) == 2
+
+
+def test_standalone_evaluate_progbar(dataset_dir):
+    import io
+    from pytorchrec_tpu.training.callbacks import ProgbarLogger
+
+    reader = make_reader()
+    trainer = make_trainer(reader)
+    trainer.fit(reader, batch_size=32, epochs=1, verbose=0, eval_dev=False)
+    out = io.StringIO()
+    logs = trainer.evaluate(
+        reader, split="dev", batch_size=16, verbose=2,
+        callbacks=[ProgbarLogger(out=out)],
+    )
+    text = out.getvalue()
+    assert "ndcg@5:" in text and f"{logs['ndcg@5']:.4f}" in text
