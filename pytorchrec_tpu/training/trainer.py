@@ -584,6 +584,26 @@ class Trainer:
         target_array = to_host(targets) if targets else None
         return predictions, target_array
 
+    def _collect_metric_partials(self, reader: DataReader, split: str,
+                                 batch_size: int, callbacks: CallbackList):
+        """Streaming eval: fold each batch into a fixed-size on-device metric
+        accumulator (SURVEY §5.8 eval recipe). Memory is independent of the
+        split size — nothing is concatenated; one tiny host transfer at the
+        end. Multi-host: partials are summed across processes (the psum)."""
+        state = self.metrics.partial_init()
+        update = jax.jit(self.metrics.partial_update, donate_argnums=0)
+        for b, (batch, valid) in enumerate(eval_batches(reader, split, batch_size)):
+            callbacks.on_test_batch_begin(b)
+            prediction, target = self._eval_step(batch)
+            state = update(state, prediction, target, jnp.asarray(valid))
+            callbacks.on_test_batch_end(b)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(state)
+            state = {k: np.sum(v, axis=0) for k, v in gathered.items()}
+        return self.metrics.partial_finalize(state)
+
     def evaluate(
         self,
         reader: DataReader,
@@ -591,7 +611,13 @@ class Trainer:
         batch_size: int = 256,
         verbose: int = 1,
         callbacks: Optional[Union[List[Callback], CallbackList]] = None,
+        streaming: bool = False,
     ) -> Dict[str, float]:
+        """``streaming=True`` accumulates metric partials on device with
+        O(1) memory in the split size (exact for rank metrics and
+        logloss/mse; AUC binned to ~1e-4 — metric/metrics.py partials);
+        default concatenates predictions like the reference
+        (IModel.py:247-255)."""
         self._assert_compiled()
         if not isinstance(callbacks, CallbackList):
             size = getattr(reader, f"get_{split}_dataset_size")()
@@ -601,10 +627,13 @@ class Trainer:
                 batches=-(-size // batch_size),
             )
         callbacks.on_test_begin()
-        predictions, targets = self._collect_predictions(
-            reader, split, batch_size, callbacks, "test"
-        )
-        logs = self.metrics(predictions, targets)
+        if streaming:
+            logs = self._collect_metric_partials(reader, split, batch_size, callbacks)
+        else:
+            predictions, targets = self._collect_predictions(
+                reader, split, batch_size, callbacks, "test"
+            )
+            logs = self.metrics(predictions, targets)
         callbacks.on_test_end(logs)
         return logs
 

@@ -137,3 +137,72 @@ class TestPointwiseMetrics:
         assert isinstance(get_metric("auc"), AUC)
         with pytest.raises(ValueError):
             get_metric("map@10")
+
+
+class TestStreamingPartials:
+    """Streaming metric accumulation (SURVEY §5.8 eval recipe): chunked
+    partial_update must reproduce the one-shot MetricList values — exactly
+    for rank metrics and logloss/mse, within bin resolution for AUC."""
+
+    def _accumulate(self, ml, prediction, target, chunks, pad_to=None):
+        import jax.numpy as jnp
+
+        state = ml.partial_init()
+        for pred_c, tgt_c in chunks:
+            valid = len(pred_c)
+            if pad_to is not None and valid < pad_to:
+                pad = pad_to - valid
+                pred_c = np.concatenate([pred_c, np.full((pad,) + pred_c.shape[1:], 7.7, pred_c.dtype)])
+                if tgt_c is not None:
+                    tgt_c = np.concatenate([tgt_c, np.ones((pad,) + tgt_c.shape[1:], tgt_c.dtype)])
+            state = ml.partial_update(state, pred_c, tgt_c, jnp.asarray(valid))
+        return ml.partial_finalize(state)
+
+    def test_rank_metrics_exact(self):
+        rng = np.random.default_rng(0)
+        scores = rng.normal(size=(50, 10)).astype(np.float32)
+        ml = MetricList(["ndcg@5", "hit@3"], user_sample_n=10)
+        exact = ml(scores)
+        chunks = [(scores[i:i + 16], None) for i in range(0, 50, 16)]
+        got = self._accumulate(ml, scores, None, chunks, pad_to=16)
+        assert set(got) == set(exact)
+        for k in exact:  # f64 histogram path vs f32 one-shot path
+            assert got[k] == pytest.approx(exact[k], abs=1e-6)
+
+    def test_pointwise_exact_and_auc_close(self):
+        rng = np.random.default_rng(1)
+        logits = rng.normal(size=999).astype(np.float32)
+        labels = (rng.random(999) < 0.3).astype(np.float32)
+        ml = MetricList(["auc", "logloss", "mse"], user_sample_n=1)
+        exact = ml(logits, labels)
+        chunks = [(logits[i:i + 256], labels[i:i + 256]) for i in range(0, 999, 256)]
+        got = self._accumulate(ml, logits, labels, chunks, pad_to=256)
+        assert got["logloss"] == pytest.approx(exact["logloss"], abs=1e-5)
+        assert got["mse"] == pytest.approx(exact["mse"], abs=1e-5)
+        assert got["auc"] == pytest.approx(exact["auc"], abs=2e-3)
+
+    def test_auc_with_heavy_ties(self):
+        # discrete scores land whole tie groups in single bins: the 0.5
+        # within-bin correction must reproduce exact tie-aware AUC
+        rng = np.random.default_rng(2)
+        logits = rng.integers(-3, 4, size=400).astype(np.float32)
+        labels = (rng.random(400) < 0.4).astype(np.float32)
+        ml = MetricList(["auc"], user_sample_n=1)
+        exact = ml(logits, labels)
+        chunks = [(logits[i:i + 128], labels[i:i + 128]) for i in range(0, 400, 128)]
+        got = self._accumulate(ml, logits, labels, chunks, pad_to=128)
+        assert got["auc"] == pytest.approx(exact["auc"], abs=1e-6)
+
+    def test_pointwise_candidate_matrix_row_masking(self):
+        # CTR eval feeds [users, 1+neg] candidate matrices; `valid` counts
+        # rows, so padded-row masking must cover whole rows, not flat elems
+        rng = np.random.default_rng(3)
+        scores = rng.normal(size=(30, 8)).astype(np.float32)
+        labels = np.zeros((30, 8), dtype=np.float32)
+        labels[:, 0] = 1.0
+        ml = MetricList(["auc", "logloss"], user_sample_n=8)
+        exact = ml(scores, labels)
+        chunks = [((scores[i:i + 16], labels[i:i + 16])) for i in range(0, 30, 16)]
+        got = self._accumulate(ml, scores, labels, chunks, pad_to=16)
+        assert got["logloss"] == pytest.approx(exact["logloss"], abs=1e-5)
+        assert got["auc"] == pytest.approx(exact["auc"], abs=2e-3)

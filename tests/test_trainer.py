@@ -458,3 +458,18 @@ def test_standalone_evaluate_progbar(dataset_dir):
     )
     text = out.getvalue()
     assert "ndcg@5:" in text and f"{logs['ndcg@5']:.4f}" in text
+
+
+def test_evaluate_streaming_matches_default(dataset_dir):
+    """streaming=True accumulates fixed-size on-device partials; values must
+    match the concatenate-everything path (rank metrics exactly)."""
+    reader = make_reader()
+    trainer = make_trainer(reader)
+    trainer.fit(reader, batch_size=32, epochs=1, verbose=0, eval_dev=False)
+    for split, bs in [("dev", 16), ("test", 7)]:  # bs=7 forces a padded tail
+        exact = trainer.evaluate(reader, split=split, batch_size=bs, verbose=0)
+        got = trainer.evaluate(reader, split=split, batch_size=bs, verbose=0,
+                               streaming=True)
+        assert set(got) == set(exact)
+        for k in exact:
+            assert abs(got[k] - exact[k]) < 1e-6, (split, k, got[k], exact[k])
