@@ -112,23 +112,36 @@ class PreemptionGuard(CheckpointCallback):
     the loop, so a restart with ``maybe_resume`` continues exactly where
     the preempted run left off. The handler window is scoped to training:
     previous handlers are restored on ``on_train_end``.
+
+    Multi-host runs: the orbax save is a COLLECTIVE, so every process must
+    stop at the SAME step even when only one host receives the signal.
+    Every ``sync_every`` batches (and at each epoch end) all processes
+    all-reduce their local preempted flags and act only on the consensus —
+    a host-synchronized tiny collective, amortized across the window.
+    Cross-mesh elasticity: the saved state restores onto a DIFFERENT device
+    count / mesh layout (``maybe_resume`` reshards into the new trainer's
+    sharding template — see scripts/elastic_sim.py for the 2-process ->
+    4-process resize drill).
     """
 
     def __init__(self, directory: str, max_to_keep: int = 3,
-                 every_epochs: int = 0, signals=None):
+                 every_epochs: int = 0, signals=None, sync_every: int = 10):
         # every_epochs=0: save only on preemption (pass >0 for periodic too)
         import signal as _signal
 
         super().__init__(directory, every_epochs=every_epochs or 10**9,
                          max_to_keep=max_to_keep)
         self.signals = tuple(signals) if signals else (_signal.SIGTERM,)
+        self.sync_every = sync_every
         self.preempted = False
         self._previous = {}
+        self._batches_seen = 0
 
     def on_train_begin(self, logs=None):
         import signal as _signal
 
         self.preempted = False
+        self._batches_seen = 0
         for sig in self.signals:
             self._previous[sig] = _signal.signal(sig, self._on_signal)
 
@@ -136,6 +149,21 @@ class PreemptionGuard(CheckpointCallback):
         logger.warning("preemption signal %d received; will checkpoint and "
                        "stop at the next step boundary", signum)
         self.preempted = True
+
+    def _consensus_preempted(self) -> bool:
+        """Any-process preemption flag. Collective when multi-host — every
+        process must reach this call the same number of times."""
+        import jax as _jax
+
+        if _jax.process_count() <= 1:
+            return self.preempted
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            _np.asarray(int(self.preempted))
+        )
+        return bool(_np.asarray(flags).any())
 
     def _save_and_stop(self):
         self.ckpt.save(int(self.trainer.state.step), self.trainer.state)
@@ -145,12 +173,21 @@ class PreemptionGuard(CheckpointCallback):
                        int(self.trainer.state.step))
 
     def on_train_batch_end(self, batch: int, logs=None):
-        if self.preempted and not self.trainer.stop_training:
+        if self.trainer.stop_training:
+            return
+        self._batches_seen += 1
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            # act only at sync points so all hosts stop at the same step
+            if self._batches_seen % self.sync_every == 0 and self._consensus_preempted():
+                self._save_and_stop()
+        elif self.preempted:
             self._save_and_stop()
 
     def on_epoch_end(self, epoch: int, logs=None):
         super().on_epoch_end(epoch, logs)
-        if self.preempted and not self.trainer.stop_training:
+        if not self.trainer.stop_training and self._consensus_preempted():
             self._save_and_stop()
 
     def on_train_end(self, logs=None):

@@ -330,6 +330,19 @@ class Trainer:
         sharding = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec("data")
         )
+        if jax.process_count() > 1:
+            # multi-host contract: every process holds the SAME global batch
+            # (seed-aligned loaders); each host materializes only the rows its
+            # addressable devices own (SURVEY §5.8 per-host data sharding)
+            def put(a):
+                if isinstance(a, jax.Array):
+                    return a  # already global (prefetch transferred it)
+                a = np.asarray(a)
+                return jax.make_array_from_callback(
+                    a.shape, sharding, lambda idx: a[idx]
+                )
+
+            return jax.tree_util.tree_map(put, batch)
         return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), batch)
 
     def _prefetch(self, batches):
@@ -347,6 +360,8 @@ class Trainer:
                 return (jax.device_put(ints), jax.device_put(floats))
 
             return prefetch(batches, size=2, transform=put)
+        if self.mesh is not None and jax.process_count() > 1:
+            return prefetch(batches, size=2, transform=self._put_batch)
         sharding = None
         if self.mesh is not None:
             sharding = jax.sharding.NamedSharding(
