@@ -14,6 +14,8 @@ from pytorchrec_tpu.parallel.sharding import (
 from pytorchrec_tpu.parallel.embedding_engine import (
     all_to_all_lookup,
     all_to_all_rowgrad,
+    grid_lookup,
+    grid_rowgrad,
     make_sharded_lookup,
     masked_psum_lookup,
 )
@@ -31,6 +33,8 @@ __all__ = [
     "masked_psum_lookup",
     "all_to_all_lookup",
     "all_to_all_rowgrad",
+    "grid_lookup",
+    "grid_rowgrad",
     "make_sharded_lookup",
 ]
 

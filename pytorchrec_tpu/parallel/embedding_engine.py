@@ -116,6 +116,31 @@ def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     return sorted_vectors[r.inverse]
 
 
+def _exchange_rowgrads(my_ids: jnp.ndarray, my_grads: jnp.ndarray,
+                       rows_per_shard: int, axis_name) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Route this shard's (ids, grads) chunk to owner shards over
+    ``axis_name`` (a name or tuple of names — tuples route over the
+    flattened grid). Padding/buckets carry the out-of-range sentinel
+    ``n_shards * rows_per_shard`` so scatters drop them."""
+    n_shards = jax.lax.axis_size(axis_name)
+    k = my_ids.shape[0]
+    sentinel = jnp.asarray(n_shards * rows_per_shard, my_ids.dtype)
+    r = _route_by_owner(my_ids, rows_per_shard, n_shards)
+    sorted_ids = my_ids[r.order]
+    sorted_grads = my_grads[r.order]
+
+    send_ids = jnp.full((n_shards, k), sentinel, dtype=my_ids.dtype)
+    send_ids = send_ids.at[r.sorted_owner, r.pos_in_bucket].set(sorted_ids)
+    send_grads = jnp.zeros((n_shards, k, my_grads.shape[-1]), my_grads.dtype)
+    send_grads = send_grads.at[r.sorted_owner, r.pos_in_bucket].set(sorted_grads)
+
+    recv_ids = jax.lax.all_to_all(send_ids, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=False)
+    recv_grads = jax.lax.all_to_all(send_grads, axis_name, split_axis=0,
+                                    concat_axis=0, tiled=False)
+    return recv_ids.reshape(n_shards * k), recv_grads.reshape(n_shards * k, -1)
+
+
 def all_to_all_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
                        rows_per_shard: int,
                        axis_name: str = MODEL_AXIS) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -148,23 +173,84 @@ def all_to_all_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
     shard_index = jax.lax.axis_index(axis_name)
     my_ids = jax.lax.dynamic_slice_in_dim(ids, shard_index * k, k)
     my_grads = jax.lax.dynamic_slice_in_dim(row_grads, shard_index * k, k)
-
     # sentinel padding ids clip to owner m-1 and stay sentinel on arrival —
     # dropped downstream like the bucket padding
-    r = _route_by_owner(my_ids, rows_per_shard, m)
-    sorted_ids = my_ids[r.order]
-    sorted_grads = my_grads[r.order]
+    return _exchange_rowgrads(my_ids, my_grads, rows_per_shard, axis_name)
 
-    send_ids = jnp.full((m, k), sentinel, dtype=ids.dtype)
-    send_ids = send_ids.at[r.sorted_owner, r.pos_in_bucket].set(sorted_ids)
-    send_grads = jnp.zeros((m, k, row_grads.shape[-1]), row_grads.dtype)
-    send_grads = send_grads.at[r.sorted_owner, r.pos_in_bucket].set(sorted_grads)
 
-    recv_ids = jax.lax.all_to_all(send_ids, axis_name, split_axis=0,
-                                  concat_axis=0, tiled=False)
-    recv_grads = jax.lax.all_to_all(send_grads, axis_name, split_axis=0,
-                                    concat_axis=0, tiled=False)
-    return recv_ids.reshape(m * k), recv_grads.reshape(m * k, -1)
+# ---------------------------------------------------------------------------
+# 2-D (data x model grid) sparse parallelism — FUTURE #1 / arXiv 2508.03854
+# ---------------------------------------------------------------------------
+#
+# Tables are row-sharded over the FLATTENED (data, model) grid: every row has
+# exactly ONE owner device among all d*m. Compared to 1-D model-axis sharding
+# (where each row is replicated d times across the data axis):
+#   * per-device table + moment HBM drops d-fold;
+#   * the backward needs NO data-axis all_gather of row grads and no
+#     replicated-update discipline — each owner applies its rows once;
+#   * the exchange rides the full grid's links instead of m-1 of them.
+# The price is a longer routing axis (d*m buckets of worst-case capacity).
+
+
+def grid_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
+                axes: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS)) -> jnp.ndarray:
+    """Per-device body: grid-sharded table lookup.
+
+    ``table_shard``: [V/(d*m), E] — this device's rows of the grid layout.
+    ``ids``: [b] local batch ids (data-sharded, REPLICATED over the model
+    axis — the model-parallel replicas of one data shard hold the same ids).
+    Returns [b, E] vectors, replicated over the model axis again.
+
+    Each model replica routes only its 1/m chunk over the combined axis (so
+    every id crosses the interconnect once), then the chunks are
+    re-assembled with a model-axis all_gather.
+    """
+    model_axis = axes[-1]
+    m = jax.lax.axis_size(model_axis)
+    (b,) = ids.shape
+    pad = (-b) % m
+    if pad:
+        # out-of-range ids clip to the last shard and get dropped on return
+        ids = jnp.concatenate(
+            [ids, jnp.zeros((pad,), ids.dtype)]
+        )
+    k = ids.shape[0] // m
+    mi = jax.lax.axis_index(model_axis)
+    my_ids = jax.lax.dynamic_slice_in_dim(ids, mi * k, k)
+    vectors = all_to_all_lookup(table_shard, my_ids, axes)  # [k, E]
+    full = jax.lax.all_gather(vectors, model_axis, tiled=True)  # [b+pad, E]
+    return full[:b]
+
+
+def grid_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
+                 rows_per_shard: int,
+                 axes: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS),
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Route per-occurrence row grads to their unique grid owner.
+
+    ``ids [n]`` / ``row_grads [n, E]`` are this data shard's occurrence
+    list, replicated over the model axis; each model replica routes its
+    1/m chunk over the COMBINED axis. Returns ``(recv_ids, recv_grads)``
+    ([d*m*ceil(n/m)] worst-case capacity) where every non-sentinel id is
+    owned by this device — apply the sparse update locally, no data-axis
+    gather needed.
+    """
+    model_axis = axes[-1]
+    m = jax.lax.axis_size(model_axis)
+    dm = jax.lax.axis_size(axes)
+    (n,) = ids.shape
+    sentinel = jnp.asarray(dm * rows_per_shard, ids.dtype)
+    pad = (-n) % m
+    if pad:
+        ids = jnp.concatenate([ids, jnp.full((pad,), sentinel, ids.dtype)])
+        row_grads = jnp.concatenate(
+            [row_grads, jnp.zeros((pad, row_grads.shape[-1]), row_grads.dtype)]
+        )
+    k = ids.shape[0] // m
+    mi = jax.lax.axis_index(model_axis)
+    my_ids = jax.lax.dynamic_slice_in_dim(ids, mi * k, k)
+    my_grads = jax.lax.dynamic_slice_in_dim(row_grads, mi * k, k)
+    return _exchange_rowgrads(my_ids, my_grads, rows_per_shard, axes)
 
 
 def make_sharded_lookup(mesh: Mesh, strategy: str = "psum"):

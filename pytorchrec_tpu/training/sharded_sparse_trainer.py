@@ -53,6 +53,8 @@ from pytorchrec_tpu.ops.sparse_update import (
 from pytorchrec_tpu.parallel.embedding_engine import (
     all_to_all_lookup,
     all_to_all_rowgrad,
+    grid_lookup,
+    grid_rowgrad,
 )
 from pytorchrec_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from pytorchrec_tpu.training.sparse_trainer import (
@@ -70,17 +72,35 @@ def _path_str(path) -> str:
 
 class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
     """SparseEmbeddingTrainer whose multi-chip path routes lookups and row
-    gradients through the explicit all-to-all engine inside one shard_map."""
+    gradients through the explicit all-to-all engine inside one shard_map.
 
-    def __init__(self, model, mesh, table_optimizer: str = "adam"):
+    ``strategy``:
+
+    * ``"1d"`` — tables row-sharded over the ``model`` axis only (replicated
+      along ``data``); row grads all_gather over ``data`` so every replica
+      applies identical updates.
+    * ``"grid"`` — 2-D sparse parallelism (FUTURE #1, arXiv 2508.03854):
+      tables row-sharded over the FLATTENED (data, model) grid. Every row
+      has one owner among all d*m devices: per-device table/moment HBM
+      drops d-fold and the backward applies each row's update once locally
+      — no data-axis all_gather, no replicated-update discipline.
+    """
+
+    def __init__(self, model, mesh, table_optimizer: str = "adam",
+                 strategy: str = "1d"):
         assert mesh is not None, "ShardedSparseEmbeddingTrainer requires a mesh"
-        assert mesh.shape.get(MODEL_AXIS, 1) > 1, (
-            f"mesh needs a model axis > 1, got {dict(mesh.shape)} "
-            "(use SparseEmbeddingTrainer for pure data-parallel)"
-        )
+        assert strategy in ("1d", "grid"), strategy
+        if strategy == "grid":
+            assert mesh.shape.get(MODEL_AXIS, 1) * mesh.shape.get(DATA_AXIS, 1) > 1
+        else:
+            assert mesh.shape.get(MODEL_AXIS, 1) > 1, (
+                f"mesh needs a model axis > 1, got {dict(mesh.shape)} "
+                "(use SparseEmbeddingTrainer for pure data-parallel)"
+            )
         assert hasattr(model, "sharded_table_specs"), (
             f"{type(model).__name__} does not implement sharded_table_specs()"
         )
+        self.strategy = strategy
         super().__init__(model, mesh=mesh, table_optimizer=table_optimizer)
 
     # ------------------------------------------------------------------
@@ -94,20 +114,27 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         }
 
     def _compute_state_shardings(self, sample_batch, seed):
-        """Declared tables + their moments: P(model, None); rest replicated."""
+        """Declared tables + their moments: P(model, None) for 1-d,
+        P((data, model), None) for the grid; rest replicated."""
         mesh = self.mesh
-        model_size = mesh.shape[MODEL_AXIS]
+        table_axes = (
+            (DATA_AXIS, MODEL_AXIS) if self.strategy == "grid" else MODEL_AXIS
+        )
+        n_shards = (
+            mesh.shape[DATA_AXIS] * mesh.shape[MODEL_AXIS]
+            if self.strategy == "grid" else mesh.shape[MODEL_AXIS]
+        )
         shape_tree = jax.eval_shape(lambda: self._make_state(sample_batch, seed))
         table_paths = self._table_paths  # set by _make_state (via eval_shape)
 
         def pspec(path, leaf):
             joined = _path_str(path)
             if any(tp in joined for tp in table_paths) and getattr(leaf, "ndim", 0) >= 1:
-                assert leaf.shape[0] % model_size == 0, (
-                    f"{joined}: {leaf.shape[0]} rows not divisible by model "
-                    f"axis {model_size}; set the model's table_row_multiple"
+                assert leaf.shape[0] % n_shards == 0, (
+                    f"{joined}: {leaf.shape[0]} rows not divisible by the "
+                    f"{n_shards} table shards; set the model's table_row_multiple"
                 )
-                return PartitionSpec(MODEL_AXIS, *([None] * (leaf.ndim - 1)))
+                return PartitionSpec(table_axes, *([None] * (leaf.ndim - 1)))
             return PartitionSpec()
 
         self._state_pspecs = jax.tree_util.tree_map_with_path(pspec, shape_tree)
@@ -126,6 +153,8 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         table_paths = self._table_paths
         mesh = self.mesh
         inv_data = 1.0 / mesh.shape[DATA_AXIS]
+        grid = self.strategy == "grid"
+        table_axes = (DATA_AXIS, MODEL_AXIS)
 
         def step_body(state, batch):
             # per-device view: batch sharded over data; tables/moments are
@@ -148,7 +177,10 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                 ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
                 ids_map[name] = ids
                 shard = jax.lax.stop_gradient(flat_params[spec["path"]])
-                rows_in[name] = all_to_all_lookup(shard, ids, MODEL_AXIS)
+                if grid:
+                    rows_in[name] = grid_lookup(shard, ids, table_axes)
+                else:
+                    rows_in[name] = all_to_all_lookup(shard, ids, MODEL_AXIS)
 
             def compute_loss(params, rows):
                 patched = dict(batch)
@@ -182,18 +214,30 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                 shard = flat[path]
                 rows_per_shard = shard.shape[0]
                 # d(global mean)/d(row) = d(local mean)/d(row) / data_size
-                r_ids, r_rows = all_to_all_rowgrad(
-                    ids_map[name], row_grads[name] * inv_data,
-                    rows_per_shard, MODEL_AXIS,
-                )
-                # dedup before the data-axis gather (cuts its payload m-fold
-                # for duplicate-heavy batches; padding carries the sentinel)
-                g = dedup_row_grads(r_ids, r_rows)
-                all_ids = jax.lax.all_gather(g.ids, DATA_AXIS, tiled=True)
-                all_rows = jax.lax.all_gather(g.rows, DATA_AXIS, tiled=True)
+                if grid:
+                    # every received row is owned HERE (unique grid owner):
+                    # dedup + apply locally, no data-axis gather at all
+                    r_ids, r_rows = grid_rowgrad(
+                        ids_map[name], row_grads[name] * inv_data,
+                        rows_per_shard, table_axes,
+                    )
+                    g = dedup_row_grads(r_ids, r_rows)
+                    all_ids, all_rows = g.ids, g.rows
+                    offset = jax.lax.axis_index(table_axes) * rows_per_shard
+                else:
+                    r_ids, r_rows = all_to_all_rowgrad(
+                        ids_map[name], row_grads[name] * inv_data,
+                        rows_per_shard, MODEL_AXIS,
+                    )
+                    # dedup before the data-axis gather (cuts its payload
+                    # m-fold for duplicate-heavy batches; padding carries the
+                    # sentinel)
+                    g = dedup_row_grads(r_ids, r_rows)
+                    all_ids = jax.lax.all_gather(g.ids, DATA_AXIS, tiled=True)
+                    all_rows = jax.lax.all_gather(g.rows, DATA_AXIS, tiled=True)
+                    offset = jax.lax.axis_index(MODEL_AXIS) * rows_per_shard
                 # owner-local coordinates; the exchange sentinel maps >= V/m
                 # on every shard, so those slots drop out of the scatter
-                offset = jax.lax.axis_index(MODEL_AXIS) * rows_per_shard
                 local_ids = (all_ids - offset).astype(jnp.int32)
                 if table_optimizer == "adam":
                     table, m, v = sparse_lazy_adam(

@@ -78,6 +78,58 @@ def test_rowgrad_exchange_routes_to_owner_shards():
     np.testing.assert_allclose(received, dense, rtol=1e-6)
 
 
+def test_grid_lookup_and_rowgrad_route_to_unique_owner():
+    """2-D grid: lookups return the right rows with ids replicated over the
+    model axis, and every row gradient lands on its SINGLE grid owner —
+    summing received grads reproduces the dense scatter-add with no
+    data-axis duplication."""
+    from pytorchrec_tpu.parallel import grid_lookup, grid_rowgrad
+
+    mesh = make_mesh(data=4, model=2)
+    V, E, B = 64, 4, 32  # 8 rows per device on the 8-device grid
+    rng = np.random.default_rng(1)
+    table = rng.normal(size=(V, E)).astype(np.float32)
+    ids = rng.integers(0, V, size=B).astype(np.int32)
+    grads = rng.normal(size=(B, E)).astype(np.float32)
+    rows_per_dev = V // 8
+    AX = (DATA_AXIS, MODEL_AXIS)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(PartitionSpec(AX, None), PartitionSpec(DATA_AXIS),
+                  PartitionSpec(DATA_AXIS, None)),
+        out_specs=(PartitionSpec(DATA_AXIS, None),
+                   PartitionSpec(AX), PartitionSpec(AX, None)),
+        check_vma=False,
+    )
+    def body(table_shard, ids_local, grads_local):
+        vecs = grid_lookup(table_shard, ids_local, AX)
+        r_ids, r_rows = grid_rowgrad(ids_local, grads_local, rows_per_dev, AX)
+        # model-axis replicas return identical vecs; keep one copy per data
+        # shard by dividing the model-axis sum back out
+        vecs = jax.lax.psum(vecs, MODEL_AXIS) / jax.lax.axis_size(MODEL_AXIS)
+        return vecs, r_ids, r_rows
+
+    vecs, r_ids, r_rows = body(jnp.asarray(table), jnp.asarray(ids),
+                               jnp.asarray(grads))
+    np.testing.assert_allclose(np.asarray(vecs), table[ids], rtol=1e-6)
+
+    r_ids, r_rows = np.asarray(r_ids), np.asarray(r_rows)
+    sentinel = V
+    dense = np.zeros((V, E), np.float32)
+    for i, g in zip(ids, grads):
+        dense[i] += g
+    received = np.zeros((V, E), np.float32)
+    per_dev = len(r_ids) // 8
+    for j, (rid, row) in enumerate(zip(r_ids, r_rows)):
+        if rid >= sentinel:
+            assert np.all(row == 0.0)
+            continue
+        assert rid // rows_per_dev == j // per_dev  # owned by receiving device
+        received[rid] += row
+    np.testing.assert_allclose(received, dense, rtol=1e-5, atol=1e-6)
+
+
 @pytest.fixture(scope="module")
 def ranking_reader():
     os.environ["PYTORCHREC_TPU_WORK_DIR"] = "/tmp/ptrec_sharded_wd"
@@ -104,10 +156,14 @@ def _tree_allclose(a, b, rtol=1e-3, atol=1e-5):
                                    rtol=rtol, atol=atol)
 
 
-@pytest.mark.parametrize("table_optimizer", ["adam", "adagrad"])
-def test_funksvd_fit_matches_single_device(ranking_reader, table_optimizer):
+@pytest.mark.parametrize("table_optimizer,strategy", [
+    ("adam", "1d"), ("adam", "grid"), ("adagrad", "1d"), ("adagrad", "grid"),
+])
+def test_funksvd_fit_matches_single_device(ranking_reader, table_optimizer,
+                                           strategy):
     """fit() through the explicit engine on a (data=4, model=2) mesh ==
-    single-device sparse training: params, table moments, and eval metrics."""
+    single-device sparse training: params, table moments, and eval metrics.
+    Covers both the 1-D (model-axis) and 2-D (data x model grid) layouts."""
     from pytorchrec_tpu.models import FunkSVD
     from pytorchrec_tpu.training import (
         ShardedSparseEmbeddingTrainer,
@@ -125,7 +181,8 @@ def test_funksvd_fit_matches_single_device(ranking_reader, table_optimizer):
             tr = SparseEmbeddingTrainer(model, table_optimizer=table_optimizer)
         else:
             tr = ShardedSparseEmbeddingTrainer(model, mesh=mesh,
-                                               table_optimizer=table_optimizer)
+                                               table_optimizer=table_optimizer,
+                                               strategy=strategy)
         tr.compile(optimizer="adam", lr=0.01, loss="bce",
                    metrics=("hit@5",), user_sample_n=10)
         tr.fit(ranking_reader, batch_size=32, epochs=2, verbose=0,
@@ -138,14 +195,23 @@ def test_funksvd_fit_matches_single_device(ranking_reader, table_optimizer):
     _tree_allclose(single.state.params, sharded.state.params)
     _tree_allclose(single.state.table_moments, sharded.state.table_moments)
 
-    # the tables really live row-sharded over the model axis
+    # the tables really live row-sharded over the declared layout
+    want = (PartitionSpec((DATA_AXIS, MODEL_AXIS), None) if strategy == "grid"
+            else PartitionSpec(MODEL_AXIS, None))
     flat = jax.tree_util.tree_flatten_with_path(sharded.state.params)[0]
     specs = {
         "/".join(str(getattr(k, "key", k)) for k in path): leaf.sharding.spec
         for path, leaf in flat
     }
-    assert specs["u_embeddings/embedding"] == PartitionSpec(MODEL_AXIS, None)
-    assert specs["i_embeddings/embedding"] == PartitionSpec(MODEL_AXIS, None)
+    assert specs["u_embeddings/embedding"] == want
+    assert specs["i_embeddings/embedding"] == want
+    if strategy == "grid":
+        # one owner per row: each device holds V/8 rows (no data-axis copies)
+        table = sharded.state.params["i_embeddings"]["embedding"]
+        assert all(
+            s.data.shape[0] == table.shape[0] // 8
+            for s in table.addressable_shards
+        )
 
     # eval on the mesh agrees with single-device eval
     e_single = single.evaluate(ranking_reader, split="dev", batch_size=32)
