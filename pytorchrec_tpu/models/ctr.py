@@ -59,6 +59,10 @@ class _CTRBase(RecModel):
     # 8 (default) or 4: int4 packs two values per byte (8x less table HBM
     # than f32, scale = absmax/7) — same trainer, same stochastic rounding
     table_bits: int = 8
+    # per-column-group scales: each row quantizes in G independent column
+    # groups (scale leaf [V, G] instead of [V]) so one outlier column does
+    # not inflate the whole row's quantization step; biggest win at int4
+    scale_col_groups: int = 1
     # round the unified table's rows up so they divide a mesh 'model' axis
     # (the explicit sharded-embedding trainer requires equal row shards;
     # padding rows are never referenced — unified ids stay < sum(vocab))
@@ -92,22 +96,27 @@ class _CTRBase(RecModel):
                 if self.table_bits == 4:
                     assert self.emb_size % 2 == 0, "int4 packing needs even emb_size"
                 stored = self.emb_size if self.table_bits == 8 else self.emb_size // 2
+                groups = self.scale_col_groups
+                assert self.emb_size % groups == 0, (self.emb_size, groups)
 
                 def q_init(rng, shape):
                     rows = normal_init(rng, (shape[0], self.emb_size))
-                    q, _ = quantize_rows_xla(rows, bits=self.table_bits)
+                    q, _ = quantize_rows_xla(rows, bits=self.table_bits,
+                                             col_groups=groups)
                     return q
 
                 def s_init(rng, shape):
                     rows = normal_init(rng, (shape[0], self.emb_size))
-                    _, scale = quantize_rows_xla(rows, bits=self.table_bits)
+                    _, scale = quantize_rows_xla(rows, bits=self.table_bits,
+                                                 col_groups=groups)
                     return scale
 
                 # NOTE: q/scale come from independent inits; exact row values
                 # are re-established by the first quantized update. Kept
                 # simple: tables start near-normal(0, 0.01) either way.
                 self.unified_q = self.param("unified_q", q_init, (total, stored))
-                self.unified_scale = self.param("unified_scale", s_init, (total,))
+                scale_shape = (total,) if groups == 1 else (total, groups)
+                self.unified_scale = self.param("unified_scale", s_init, scale_shape)
             else:
                 self.unified_table = Embedding(total, self.emb_size, name="unified_emb")
             self.unified_lin = Embedding(total, 1, name="unified_lin")
@@ -141,7 +150,8 @@ class _CTRBase(RecModel):
             from pytorchrec_tpu.ops.kernels.quantize import dequantize_rows
 
             return dequantize_rows(self.unified_q[ids], self.unified_scale[ids],
-                                   bits=self.table_bits)
+                                   bits=self.table_bits,
+                                   col_groups=self.scale_col_groups)
         return self.unified_table(ids)
 
     def _embedded_concat(self, sparse, batch: Batch = None) -> jnp.ndarray:
@@ -210,6 +220,7 @@ class _CTRBase(RecModel):
             "unified": {
                 "q": "unified_q", "scale": "unified_scale",
                 "ids": ids, "rows_key": self.ROWS_KEY, "bits": self.table_bits,
+                "col_groups": self.scale_col_groups,
             }
         }
 

@@ -111,8 +111,9 @@ class QuantizedEmbeddingTrainer(Trainer):
                 ids_map[name] = ids
                 q = jax.lax.stop_gradient(flat_params[table["q"]])
                 s = jax.lax.stop_gradient(flat_params[table["scale"]])
-                rows_in[name] = dequantize_rows(q[ids], s[ids],
-                                                bits=table.get("bits", 8))
+                rows_in[name] = dequantize_rows(
+                    q[ids], s[ids], bits=table.get("bits", 8),
+                    col_groups=table.get("col_groups", 1))
 
             def compute_loss(params, rows):
                 patched_batch = dict(batch)
@@ -151,7 +152,9 @@ class QuantizedEmbeddingTrainer(Trainer):
 
                 q, s = flat[table["q"]], flat[table["scale"]]
                 table_bits = table.get("bits", 8)
-                current = dequantize_rows(q[g.ids], s[g.ids], bits=table_bits)
+                col_groups = table.get("col_groups", 1)
+                current = dequantize_rows(q[g.ids], s[g.ids], bits=table_bits,
+                                          col_groups=col_groups)
                 new_rows = current - delta
                 # per-table RNG stream: fold the table index so same-shape
                 # tables don't share stochastic-rounding noise
@@ -160,7 +163,8 @@ class QuantizedEmbeddingTrainer(Trainer):
                     new_rows.shape, jnp.uint32,
                 )
                 q_new, s_new = quantize_rows_xla(new_rows, rng_bits=rng_bits,
-                                                 bits=table_bits)
+                                                 bits=table_bits,
+                                                 col_groups=col_groups)
                 # Padding slots in g alias the last unique id; a scatter-SET
                 # with duplicate indices is last-wins-nondeterministic, so a
                 # padding slot's stale row could clobber that id's real

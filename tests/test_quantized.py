@@ -235,3 +235,60 @@ def test_int4_dcn_trains(dataset_dir):
     assert q.dtype == jnp.int8 and q.shape[1] == 4  # emb 8 -> 4 bytes/row
     logs = t.evaluate(reader, split="test", batch_size=32)
     assert np.isfinite(logs["ndcg@5"])
+
+
+def test_col_group_scales_roundtrip_and_outlier_win():
+    """Per-column-group scales: exactness bound per group + a planted
+    outlier column only degrades its own group, not the whole row."""
+    rng = np.random.default_rng(5)
+    rows = rng.normal(scale=0.02, size=(32, 16)).astype(np.float32)
+    rows[:, 0] = 1.0  # outlier column inflates group-0's scale only
+
+    q1, s1 = quantize_rows_xla(jnp.asarray(rows), bits=4, col_groups=1)
+    q4, s4 = quantize_rows_xla(jnp.asarray(rows), bits=4, col_groups=4)
+    assert s1.shape == (32,) and s4.shape == (32, 4)
+    back1 = np.asarray(dequantize_rows(q1, s1, bits=4, col_groups=1))
+    back4 = np.asarray(dequantize_rows(q4, s4, bits=4, col_groups=4))
+
+    # per-group error bound: |err| <= group_scale / 2
+    per_col_scale = np.repeat(np.asarray(s4), 4, axis=-1)
+    assert np.all(np.abs(back4 - rows) <= per_col_scale / 2 + 1e-7)
+
+    # the outlier-free columns are far more accurate with group scales
+    err1 = np.abs(back1[:, 4:] - rows[:, 4:]).mean()
+    err4 = np.abs(back4[:, 4:] - rows[:, 4:]).mean()
+    assert err4 < err1 / 3
+
+
+def test_col_group_scales_int8_matches_groupwise_reference():
+    """G-group quantization == quantizing each column block independently."""
+    rng = np.random.default_rng(6)
+    rows = jnp.asarray(rng.normal(scale=0.1, size=(16, 12)), jnp.float32)
+    q, s = quantize_rows_xla(rows, bits=8, col_groups=3)
+    for g in range(3):
+        block = rows[:, g * 4:(g + 1) * 4]
+        qg, sg = quantize_rows_xla(block, bits=8, col_groups=1)
+        np.testing.assert_array_equal(np.asarray(q[:, g * 4:(g + 1) * 4]),
+                                      np.asarray(qg))
+        np.testing.assert_allclose(np.asarray(s[:, g]), np.asarray(sg), rtol=1e-6)
+
+
+def test_col_group_int4_dcn_trains(dataset_dir):
+    from pytorchrec_tpu.data import SplitMode, TrainMode
+    from pytorchrec_tpu.tasks import build_model, build_reader
+    from pytorchrec_tpu.training.quantized_trainer import QuantizedEmbeddingTrainer
+
+    reader = build_reader("dcn", "Synthetic-ML-Quant",
+                          split_mode=SplitMode.LEAVE_K_OUT, warm_n=5, leave_k=1,
+                          neg_sample_n=9, train_mode=TrainMode.POINT_WISE,
+                          random_seed=2020)
+    model = build_model("dcn", reader, emb_size=8,
+                        unified_embedding=True, quantized_embedding=True,
+                        table_bits=4, scale_col_groups=2)
+    t = QuantizedEmbeddingTrainer(model)
+    t.compile(optimizer="adam", lr=0.05, loss="bce", metrics=("ndcg@5",),
+              user_sample_n=10)
+    h = t.fit(reader, batch_size=32, epochs=4, verbose=0, dev_freq=4)
+    assert all(np.isfinite(h.history["loss"]))
+    assert h.history["loss"][-1] < h.history["loss"][0]
+    assert t.state.params["unified_scale"].shape[-1] == 2
