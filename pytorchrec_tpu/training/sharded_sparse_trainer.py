@@ -87,9 +87,16 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
     """
 
     def __init__(self, model, mesh, table_optimizer: str = "adam",
-                 strategy: str = "1d"):
+                 strategy: str = "1d", grad_compression: str | None = None,
+                 grad_compression_min_size: int | None = None):
         assert mesh is not None, "ShardedSparseEmbeddingTrainer requires a mesh"
         assert strategy in ("1d", "grid"), strategy
+        assert grad_compression in (None, "int8"), grad_compression
+        # int8 dense-grad collectives with error feedback — for DATA axes
+        # that ride slow DCN links (few participants); see
+        # parallel/grad_compression.py for the traffic math
+        self.grad_compression = grad_compression
+        self.grad_compression_min_size = grad_compression_min_size
         if strategy == "grid":
             assert mesh.shape.get(MODEL_AXIS, 1) * mesh.shape.get(DATA_AXIS, 1) > 1
         else:
@@ -113,6 +120,29 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
             for spec in self.model.sharded_table_specs(sample_batch).values()
         }
 
+    def _make_state(self, sample_batch, seed):
+        state = super()._make_state(sample_batch, seed)
+        if self.grad_compression is None:
+            return state
+        from pytorchrec_tpu.parallel.grad_compression import (
+            DEFAULT_MIN_SIZE,
+            select_compressible,
+        )
+
+        # error-feedback residuals are PER-DATA-REPLICA state (each shard
+        # carries its own local quantization leftover): leading axis d,
+        # sharded over DATA_AXIS (see _compute_state_shardings)
+        d = self.mesh.shape[DATA_AXIS]
+        min_size = (DEFAULT_MIN_SIZE if self.grad_compression_min_size is None
+                    else self.grad_compression_min_size)
+        residual = {
+            path: jnp.zeros((d, *leaf.shape), leaf.dtype)
+            for path, leaf in select_compressible(
+                _flatten(state.params), exclude=self._table_paths,
+                min_size=min_size).items()
+        }
+        return state.replace(grad_residual=residual)
+
     def _compute_state_shardings(self, sample_batch, seed):
         """Declared tables + their moments: P(model, None) for 1-d,
         P((data, model), None) for the grid; rest replicated."""
@@ -129,6 +159,10 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
 
         def pspec(path, leaf):
             joined = _path_str(path)
+            if joined.startswith("grad_residual"):
+                # per-data-replica error-feedback carry: leading axis = data
+                return PartitionSpec(
+                    DATA_AXIS, *([None] * (getattr(leaf, "ndim", 1) - 1)))
             if any(tp in joined for tp in table_paths) and getattr(leaf, "ndim", 0) >= 1:
                 assert leaf.shape[0] % n_shards == 0, (
                     f"{joined}: {leaf.shape[0]} rows not divisible by the "
@@ -154,6 +188,7 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         mesh = self.mesh
         inv_data = 1.0 / mesh.shape[DATA_AXIS]
         grid = self.strategy == "grid"
+        compress = self.grad_compression == "int8"
         table_axes = (DATA_AXIS, MODEL_AXIS)
 
         def step_body(state, batch):
@@ -198,7 +233,21 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
 
             # global loss = mean of per-shard means (equal local sizes)
             loss = jax.lax.pmean(loss, DATA_AXIS)
-            dense_grads = jax.lax.pmean(dense_grads, DATA_AXIS)
+            if compress:
+                from pytorchrec_tpu.parallel.grad_compression import (
+                    compressed_pmean_flat,
+                )
+
+                # residual arrives as [1, ...] (this shard's slice of the
+                # data-sharded carry); squeeze for the math, restore after
+                local_res = {k: v[0] for k, v in state.grad_residual.items()}
+                flat_mean, new_res = compressed_pmean_flat(
+                    _flatten(dense_grads), local_res, DATA_AXIS)
+                dense_grads = _unflatten(flat_mean)
+                new_residual = {k: v[None] for k, v in new_res.items()}
+            else:
+                dense_grads = jax.lax.pmean(dense_grads, DATA_AXIS)
+                new_residual = state.grad_residual
             updates, opt_state = dense_tx.update(
                 dense_grads, state.opt_state, state.params
             )
@@ -256,7 +305,7 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
 
             new_state = state.replace(
                 params=_unflatten(flat), opt_state=opt_state, step=step,
-                table_moments=moments,
+                table_moments=moments, grad_residual=new_residual,
             )
             return new_state, loss
 

@@ -42,9 +42,15 @@ import flax.struct
 @flax.struct.dataclass
 class SparseTrainState(TrainState):
     """``opt_state`` covers the dense leaves; tables live in ``params`` with
-    their row-sparse moments here (dict: path -> moment pytree)."""
+    their row-sparse moments here (dict: path -> moment pytree).
+
+    ``grad_residual``: per-leaf quantization-error carry for int8-compressed
+    dense-grad collectives (parallel/grad_compression.py); empty dict when
+    compression is off."""
 
     table_moments: Dict[str, Dict[str, jnp.ndarray]] = None
+    grad_residual: Dict[str, jnp.ndarray] = flax.struct.field(
+        default_factory=dict)
 
 
 def _flatten(params):
