@@ -84,13 +84,24 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
       has one owner among all d*m devices: per-device table/moment HBM
       drops d-fold and the backward applies each row's update once locally
       — no data-axis all_gather, no replicated-update discipline.
+    * ``"hot_cold"`` — frequency-aware placement (parallel/hot_cold.py,
+      RecShard arXiv 2201.10095): for each table with observed traffic
+      ``hot_counts``, the hottest ``hot_rows`` rows are REPLICATED on every
+      device (local gather, zero exchange traffic; replicated-discipline
+      row updates) and the cold tail is row-sharded over ``model`` exactly
+      like ``"1d"``. On Zipfian ids the hot fraction absorbs most lookups,
+      so the all-to-all only carries the long tail. Tables without counts
+      fall back to plain 1-d sharding. Sizing comes straight from the
+      admission pass: ``data/vocab.py::FrequencyVocab.slot_counts()`` is
+      the counts vector and ``hot_rows(mass)`` the replica budget.
     """
 
     def __init__(self, model, mesh, table_optimizer: str = "adam",
                  strategy: str = "1d", grad_compression: str | None = None,
-                 grad_compression_min_size: int | None = None):
+                 grad_compression_min_size: int | None = None,
+                 hot_counts=None, hot_rows=0.9):
         assert mesh is not None, "ShardedSparseEmbeddingTrainer requires a mesh"
-        assert strategy in ("1d", "grid"), strategy
+        assert strategy in ("1d", "grid", "hot_cold"), strategy
         assert grad_compression in (None, "int8"), grad_compression
         # int8 dense-grad collectives with error feedback — for DATA axes
         # that ride slow DCN links (few participants); see
@@ -108,6 +119,14 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
             f"{type(model).__name__} does not implement sharded_table_specs()"
         )
         self.strategy = strategy
+        # hot/cold sizing: {spec_name: counts [V]} + replica budget
+        # (int = top-K rows, float in (0,1) = traffic-mass fraction a la
+        # data/vocab.py::FrequencyVocab.hot_rows)
+        if strategy == "hot_cold":
+            assert hot_counts, "strategy='hot_cold' needs hot_counts={name: counts}"
+        self._hot_counts = dict(hot_counts or {})
+        self._hot_budget = hot_rows
+        self._hot_layouts = {}  # param path -> HotColdLayout (set at _make_state)
         super().__init__(model, mesh=mesh, table_optimizer=table_optimizer)
 
     # ------------------------------------------------------------------
@@ -120,8 +139,86 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
             for spec in self.model.sharded_table_specs(sample_batch).values()
         }
 
+    def _resolve_hot_layouts(self, sample_batch, flat_params):
+        """Build per-table HotColdLayout from ``hot_counts`` (static numpy;
+        idempotent — also runs under ``jax.eval_shape`` tracing, where only
+        leaf SHAPES are read)."""
+        import numpy as np
+
+        from pytorchrec_tpu.parallel.hot_cold import build_layout
+
+        if self._hot_layouts:
+            return
+        m = self.mesh.shape[MODEL_AXIS]
+        specs = self.model.sharded_table_specs(sample_batch)
+        for name, spec in specs.items():
+            path = spec["path"]
+            if name not in self._hot_counts or path not in self._table_paths:
+                continue
+            v = flat_params[path].shape[0]  # leaf rows (possibly padded)
+            counts = np.asarray(self._hot_counts[name], np.float64)
+            assert len(counts) <= v, (name, len(counts), v)
+            if len(counts) < v:  # leaf padding rows are coldest
+                counts = np.concatenate([counts, np.full(v - len(counts), -1.0)])
+            budget = self._hot_budget
+            if isinstance(budget, float) and 0 < budget < 1:
+                ranked = np.sort(np.maximum(counts, 0))[::-1]
+                total = ranked.sum()
+                h = (int(np.searchsorted(np.cumsum(ranked), budget * total) + 1)
+                     if total > 0 else 0)
+            else:
+                h = int(budget)
+            # keep >= m cold rows so every model shard owns a slice
+            h = max(1, min(h, v - m))
+            self._hot_layouts[path] = build_layout(
+                counts, h, pad_cold_to_multiple=m)
+
+    def _split_hot_cold(self, flat, moments):
+        """Replace each hot/cold table leaf [V, E] with its cold fragment
+        (row-sharded) and add the replicated hot fragment under
+        ``hot_tables/<path>``; moments follow the fragments."""
+        for path, layout in self._hot_layouts.items():
+            leaf = flat[path]
+            e = leaf.shape[-1]
+            h, c = layout.hot_rows, layout.cold_rows
+            packed = jnp.take(leaf, jnp.asarray(layout.inverse), axis=0)
+            pad = c - (len(layout.perm) - h)
+            cold = packed[h:]
+            if pad:
+                cold = jnp.concatenate(
+                    [cold, jnp.zeros((pad, e), leaf.dtype)])
+            flat[path] = cold
+            flat["hot_tables/" + path] = packed[:h]
+            zc = jnp.zeros((c, e), leaf.dtype)
+            zh = jnp.zeros((h, e), leaf.dtype)
+            if self.table_optimizer == "adam":
+                moments[path] = {"m": zc, "v": zc, "hot_m": zh, "hot_v": zh}
+            else:
+                moments[path] = {"acc": zc, "hot_acc": zh}
+        return flat, moments
+
     def _make_state(self, sample_batch, seed):
         state = super()._make_state(sample_batch, seed)
+        if self.strategy == "hot_cold":
+            import optax
+
+            flat = dict(_flatten(state.params))
+            self._resolve_hot_layouts(sample_batch, flat)
+            flat, moments = self._split_hot_cold(flat, dict(state.table_moments))
+            params = _unflatten(flat)
+            # rebuild the dense optimizer over the NEW tree structure; hot
+            # fragments are updated by the explicit sparse path, not optax
+            mask = _unflatten({
+                k: k not in self._table_paths
+                and not k.startswith("hot_tables/")
+                for k in flat
+            })
+            self._dense_tx = optax.masked(self.tx, mask)
+            state = state.replace(
+                params=params,
+                opt_state=self._dense_tx.init(params),
+                table_moments=moments,
+            )
         if self.grad_compression is None:
             return state
         from pytorchrec_tpu.parallel.grad_compression import (
@@ -138,7 +235,9 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         residual = {
             path: jnp.zeros((d, *leaf.shape), leaf.dtype)
             for path, leaf in select_compressible(
-                _flatten(state.params), exclude=self._table_paths,
+                _flatten(state.params),
+                exclude=self._table_paths
+                | {"hot_tables/" + p for p in self._hot_layouts},
                 min_size=min_size).items()
         }
         return state.replace(grad_residual=residual)
@@ -163,6 +262,10 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                 # per-data-replica error-feedback carry: leading axis = data
                 return PartitionSpec(
                     DATA_AXIS, *([None] * (getattr(leaf, "ndim", 1) - 1)))
+            # hot/cold: hot fragments + their moments are replicated
+            if "hot_tables/" in joined or \
+                    joined.rsplit("/", 1)[-1].startswith("hot_"):
+                return PartitionSpec()
             if any(tp in joined for tp in table_paths) and getattr(leaf, "ndim", 0) >= 1:
                 assert leaf.shape[0] % n_shards == 0, (
                     f"{joined}: {leaf.shape[0]} rows not divisible by the "
@@ -190,6 +293,9 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         grid = self.strategy == "grid"
         compress = self.grad_compression == "int8"
         table_axes = (DATA_AXIS, MODEL_AXIS)
+        hot_layouts = dict(self._hot_layouts)
+        # layout perms are static (fixed at init): closed over as constants
+        hot_perms = {p: jnp.asarray(lo.perm) for p, lo in hot_layouts.items()}
 
         def step_body(state, batch):
             # per-device view: batch sharded over data; tables/moments are
@@ -207,12 +313,28 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
             }
             flat_params = _flatten(state.params)
 
-            ids_map, rows_in = {}, {}
+            ids_map, rows_in, hot_aux = {}, {}, {}
             for name, spec in specs.items():
                 ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
                 ids_map[name] = ids
-                shard = jax.lax.stop_gradient(flat_params[spec["path"]])
-                if grid:
+                path = spec["path"]
+                shard = jax.lax.stop_gradient(flat_params[path])
+                layout = hot_layouts.get(path)
+                if layout is not None:
+                    # hot ids resolve from the replicated fragment (no
+                    # exchange); only the cold tail rides the all-to-all
+                    h = layout.hot_rows
+                    packed = hot_perms[path][ids]
+                    is_hot = packed < h
+                    hot = jax.lax.stop_gradient(
+                        flat_params["hot_tables/" + path])
+                    hot_vec = hot[jnp.clip(packed, 0, h - 1)]
+                    cold_ids = jnp.where(is_hot, 0, packed - h)
+                    cold_vec = all_to_all_lookup(shard, cold_ids, MODEL_AXIS)
+                    rows_in[name] = jnp.where(
+                        is_hot[:, None], hot_vec, cold_vec)
+                    hot_aux[name] = (packed, is_hot)
+                elif grid:
                     rows_in[name] = grid_lookup(shard, ids, table_axes)
                 else:
                     rows_in[name] = all_to_all_lookup(shard, ids, MODEL_AXIS)
@@ -263,6 +385,56 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                 shard = flat[path]
                 rows_per_shard = shard.shape[0]
                 # d(global mean)/d(row) = d(local mean)/d(row) / data_size
+                layout = hot_layouts.get(path)
+                if layout is not None:
+                    # split each occurrence's grad by fragment: the other
+                    # side's occurrences carry an out-of-range sentinel and
+                    # drop out of that fragment's scatter
+                    h = layout.hot_rows
+                    packed, is_hot = hot_aux[name]
+                    g_occ = row_grads[name] * inv_data
+                    m_axis = mesh.shape[MODEL_AXIS]
+                    cold_sent = jnp.asarray(
+                        m_axis * rows_per_shard, packed.dtype)
+                    cold_gids = jnp.where(is_hot, cold_sent, packed - h)
+                    r_ids, r_rows = all_to_all_rowgrad(
+                        cold_gids, g_occ, rows_per_shard, MODEL_AXIS)
+                    g = dedup_row_grads(r_ids, r_rows)
+                    all_ids = jax.lax.all_gather(g.ids, DATA_AXIS, tiled=True)
+                    all_rows = jax.lax.all_gather(g.rows, DATA_AXIS, tiled=True)
+                    local_ids = (
+                        all_ids - jax.lax.axis_index(MODEL_AXIS) * rows_per_shard
+                    ).astype(jnp.int32)
+                    # hot grads: local dedup, replicated-discipline gather
+                    # over data (every device applies identical hot updates)
+                    hot_key = "hot_tables/" + path
+                    hot_gids = jnp.where(
+                        is_hot, packed, jnp.asarray(h, packed.dtype))
+                    gh = dedup_row_grads(hot_gids, g_occ, pad_id_base=h)
+                    h_ids = jax.lax.all_gather(
+                        gh.ids, DATA_AXIS, tiled=True).astype(jnp.int32)
+                    h_rows = jax.lax.all_gather(gh.rows, DATA_AXIS, tiled=True)
+                    if table_optimizer == "adam":
+                        cold_t, cm, cv = sparse_lazy_adam(
+                            shard, moments[path]["m"], moments[path]["v"],
+                            local_ids, all_rows, step, lr=table_lr)
+                        hot_t, hm, hv = sparse_lazy_adam(
+                            flat[hot_key], moments[path]["hot_m"],
+                            moments[path]["hot_v"], h_ids, h_rows, step,
+                            lr=table_lr)
+                        flat[path], flat[hot_key] = cold_t, hot_t
+                        moments[path] = {"m": cm, "v": cv,
+                                         "hot_m": hm, "hot_v": hv}
+                    else:
+                        cold_t, cacc = sparse_adagrad(
+                            shard, moments[path]["acc"], local_ids, all_rows,
+                            lr=table_lr)
+                        hot_t, hacc = sparse_adagrad(
+                            flat[hot_key], moments[path]["hot_acc"],
+                            h_ids, h_rows, lr=table_lr)
+                        flat[path], flat[hot_key] = cold_t, hot_t
+                        moments[path] = {"acc": cacc, "hot_acc": hacc}
+                    continue
                 if grid:
                     # every received row is owned HERE (unique grid owner):
                     # dedup + apply locally, no data-axis gather at all
@@ -322,3 +494,72 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
     def _jit_train_step(self, train_step):
         # shard_map already pins every layout; plain jit + donation
         return jax.jit(self._with_precision(train_step), donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    # hot/cold eval + export
+    # ------------------------------------------------------------------
+
+    def _build_eval_step(self):
+        """hot/cold stores tables as (replicated hot, sharded cold)
+        fragments the model can't gather from itself, so eval injects rows
+        through the same lookup the train step uses (1d/grid keep the plain
+        GSPMD eval: their [V, E] leaves are semantically unchanged)."""
+        if self.strategy != "hot_cold":
+            return super()._build_eval_step()
+        model = self.model
+        table_paths = self._table_paths
+        hot_layouts = dict(self._hot_layouts)
+        hot_perms = {p: jnp.asarray(lo.perm) for p, lo in hot_layouts.items()}
+
+        def eval_body(params, batch):
+            flat = _flatten(params)
+            specs = {
+                name: spec
+                for name, spec in model.sharded_table_specs(batch).items()
+                if spec["path"] in table_paths
+            }
+            patched = dict(batch)
+            for name, spec in specs.items():
+                ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+                path = spec["path"]
+                layout = hot_layouts.get(path)
+                if layout is None:
+                    rows = all_to_all_lookup(flat[path], ids, MODEL_AXIS)
+                else:
+                    h = layout.hot_rows
+                    packed = hot_perms[path][ids]
+                    is_hot = packed < h
+                    hot_vec = flat["hot_tables/" + path][
+                        jnp.clip(packed, 0, h - 1)]
+                    cold_ids = jnp.where(is_hot, 0, packed - h)
+                    cold_vec = all_to_all_lookup(
+                        flat[path], cold_ids, MODEL_AXIS)
+                    rows = jnp.where(is_hot[:, None], hot_vec, cold_vec)
+                patched[spec["rows_key"]] = rows
+            return model.apply({"params": params}, patched, train=False)
+
+        step = jax.shard_map(
+            eval_body,
+            mesh=self.mesh,
+            in_specs=(self._state_pspecs.params, PartitionSpec(DATA_AXIS)),
+            out_specs=PartitionSpec(DATA_AXIS),
+            check_vma=False,
+        )
+        return jax.jit(step)
+
+    def merged_params(self):
+        """Host copy of ``state.params`` with every hot/cold table merged
+        back to its original [V, E] row order — for export/serving or
+        cross-layout checkpoint interop (parallel/hot_cold.py::merge_table)."""
+        from pytorchrec_tpu.parallel.hot_cold import merge_table
+
+        params = jax.device_get(self.state.params)
+        if not self._hot_layouts:
+            return params
+        flat = dict(_flatten(params))
+        for path, layout in self._hot_layouts.items():
+            hot = flat.pop("hot_tables/" + path)
+            flat[path] = merge_table(hot, flat[path], layout)
+        merged = _unflatten(flat)
+        merged.pop("hot_tables", None)
+        return merged

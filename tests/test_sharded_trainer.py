@@ -265,3 +265,68 @@ def test_sharded_trainer_rejects_dataless_mesh():
     model = FunkSVD(uid_column=col, iid_column=col, label_column=col)
     with pytest.raises(AssertionError):
         ShardedSparseEmbeddingTrainer(model, mesh=make_mesh(data=8, model=1))
+
+
+@pytest.mark.parametrize("table_optimizer", ["adam", "adagrad"])
+def test_funksvd_hot_cold_fit_matches_single_device(ranking_reader,
+                                                    table_optimizer):
+    """strategy='hot_cold': the hottest rows are replicated per device and
+    the cold tail rides the 1-d exchange (FUTURE #2 remainder). fit() on the
+    (data=4, model=2) mesh must match single-device sparse training after
+    merging the fragments back (parallel/hot_cold.py::merge_table), with the
+    hot fragment actually replicated and the cold fragment row-sharded."""
+    from pytorchrec_tpu.models import FunkSVD
+    from pytorchrec_tpu.training import (
+        ShardedSparseEmbeddingTrainer,
+        SparseEmbeddingTrainer,
+    )
+    from pytorchrec_tpu.utils import constants as C
+
+    cols = ranking_reader.get_feature_column_dict()
+    rng = np.random.default_rng(3)
+    hot_counts = {
+        "u": rng.integers(0, 100, size=cols[C.UID].category_num),
+        "i": rng.integers(0, 100, size=cols[C.IID].category_num),
+    }
+
+    def run(mesh):
+        model = FunkSVD(uid_column=cols[C.UID], iid_column=cols[C.IID],
+                        label_column=cols[C.LABEL], emb_size=8,
+                        table_row_multiple=8)
+        if mesh is None:
+            tr = SparseEmbeddingTrainer(model, table_optimizer=table_optimizer)
+        else:
+            tr = ShardedSparseEmbeddingTrainer(
+                model, mesh=mesh, table_optimizer=table_optimizer,
+                strategy="hot_cold", hot_counts=hot_counts, hot_rows=16)
+        tr.compile(optimizer="adam", lr=0.01, loss="bce",
+                   metrics=("hit@5",), user_sample_n=10)
+        tr.fit(ranking_reader, batch_size=32, epochs=2, verbose=0,
+               eval_dev=False, seed=7)
+        return tr
+
+    single = run(None)
+    sharded = run(make_mesh(data=4, model=2))
+
+    # merged fragments reproduce the single-device tables
+    _tree_allclose(single.state.params, sharded.merged_params())
+
+    # placement: hot fragments replicated, cold fragments model-sharded
+    flat = jax.tree_util.tree_flatten_with_path(sharded.state.params)[0]
+    specs = {
+        "/".join(str(getattr(k, "key", k)) for k in path):
+            (leaf.sharding.spec, leaf.shape)
+        for path, leaf in flat
+    }
+    for tbl in ("u_embeddings/embedding", "i_embeddings/embedding"):
+        hot_spec, hot_shape = specs["hot_tables/" + tbl]
+        cold_spec, cold_shape = specs[tbl]
+        assert hot_spec == PartitionSpec()
+        assert hot_shape[0] == 16
+        assert cold_spec in (PartitionSpec(MODEL_AXIS, None),
+                             PartitionSpec(MODEL_AXIS))
+
+    # eval through the injected hot/cold lookup agrees with single-device
+    e_single = single.evaluate(ranking_reader, split="dev", batch_size=32)
+    e_sharded = sharded.evaluate(ranking_reader, split="dev", batch_size=32)
+    assert e_single["hit@5"] == pytest.approx(e_sharded["hit@5"], abs=1e-6)
