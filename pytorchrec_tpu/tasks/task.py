@@ -210,6 +210,9 @@ class Task(ITask):
             dev_freq=self.dev_freq,
             seed=self.random_seed,
         )
+        # expose the per-epoch History for trajectory inspection (the
+        # reference stores it on the model: History.py:31 ``self.model.history``)
+        self.history = history
 
         best_epoch, best_dev_logs = history.get_best_epoch_logs(
             self.monitor, self.monitor_mode

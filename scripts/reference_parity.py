@@ -64,7 +64,8 @@ def run_ours(model_name: str, seed: int):
             patience=EPOCHS, verbose=0, debug=True,
         )
         _, _, test_logs = task.run()
-        return test_logs["mse"], test_logs["mse"]
+        traj = [float(v) for v in task.history.history.get("mse", [])]
+        return test_logs["mse"], test_logs["mse"], traj
 
     reader_kwargs = {"split_mode": SplitMode.LEAVE_K_OUT, "warm_n": 5,
                      "leave_k": 1, "neg_sample_n": NEG_N, "random_seed": seed}
@@ -89,7 +90,8 @@ def run_ours(model_name: str, seed: int):
         patience=EPOCHS, verbose=0, debug=True,
     )
     _, _, test_logs = task.run()
-    return test_logs["ndcg@10"], test_logs["hit@10"]
+    traj = [float(v) for v in task.history.history.get("ndcg@10", [])]
+    return test_logs["ndcg@10"], test_logs["hit@10"], traj
 
 
 def _patch_reference_paths(work_dir: str) -> None:
@@ -196,7 +198,8 @@ def run_reference(model_name: str, seed: int):
     # patience == epochs so training never stops early on either side)
     test_logs = model.evaluate(dataset=TestDataset(reader), batch_size=BATCH,
                                verbose=0, callbacks=None, workers=0)
-    return float(test_logs["ndcg@10"]), float(test_logs["hit@10"])
+    traj = [float(v) for v in history.history.get("ndcg@10", [])]
+    return float(test_logs["ndcg@10"]), float(test_logs["hit@10"]), traj
 
 
 def _run_reference_seqsplit(model_name: str, seed: int):
@@ -248,6 +251,7 @@ def _run_reference_seqsplit(model_name: str, seed: int):
 
     dev_labels = reader.dev_df[LABEL].to_numpy().astype(np.float64)
     best_mse, best_state = float("inf"), None
+    traj = []
     for _ in range(EPOCHS):
         model.fit(
             dataset=TrainDataset(reader), batch_size=BATCH, epochs=1,
@@ -256,12 +260,13 @@ def _run_reference_seqsplit(model_name: str, seed: int):
             drop_last=True, dev_freq=2,
         )
         dev_mse = _mse(DevDataset(reader), dev_labels)
+        traj.append(dev_mse)
         if dev_mse < best_mse:
             best_mse, best_state = dev_mse, copy.deepcopy(model.state_dict())
     model.load_state_dict(best_state)
     labels = reader.test_df[LABEL].to_numpy().astype(np.float64)
     mse = _mse(TestDataset(reader), labels)
-    return mse, mse
+    return mse, mse, traj
 
 
 def main():
