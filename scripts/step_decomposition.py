@@ -6,15 +6,15 @@ batch upload are amortized 1/K (through the dev tunnel a single dispatch
 costs 100s of ms of link latency — per-call timing measures the link, not
 the chip; CLAUDE.md "Host-pipeline perf").
 
-CAVEAT (measured on the v5e, 2026-08-17): wrapping the step in ``lax.scan``
-changes XLA's layout assignment for the carried embedding tables — the
-while-loop carry gets a row-MINOR tiled layout ``{0,1:T(8,128)}`` and every
-row scatter serializes (~44 ms for 426k rows vs ~1 ms with the natural
-``{1,0}`` layout the per-dispatch jit picks).  The scan numbers printed here
-are therefore an UPPER BOUND dominated by that layout artifact, not the real
-per-dispatch step cost (bench.py's donated per-dispatch path measures
-3-5 ms/step at the same shapes).  Use scripts/device_profile.py (jax
-profiler) for trustworthy on-device decomposition through the tunnel.
+Earlier versions fused with ``lax.scan`` — CAVEAT (measured on the v5e,
+2026-08-17): a scanned step changes XLA's layout assignment for the carried
+embedding tables (the while-loop carry gets a row-MINOR tiled layout
+``{0,1:T(8,128)}`` and every row scatter serializes: ~44 ms for 426k rows
+vs ~1 ms with the natural ``{1,0}`` layout a per-dispatch jit picks). The
+probes therefore UNROLL the K iterations inside one jit instead — the
+chain is a straight-line XLA computation whose buffers keep their natural
+layouts, so the amortized per-iteration time matches the per-dispatch
+donated path (bench.py) while still hiding the tunnel RTT.
 
 Probes, at b16384 and b32768 of the DCN-v2 Criteo config:
   * full sparse-Adam train step — scatter-patch path vs rows-injection path
@@ -39,7 +39,8 @@ import numpy as np
 
 N_DENSE, N_SPARSE, VOCAB, EMB = 13, 26, 100_000, 16
 HBM_GBPS = 819  # v5e HBM bandwidth (public spec ~819 GB/s)
-K = 20  # fused iterations per dispatch
+K = 20        # fused iterations per dispatch (micro probes)
+K_STEP = 8    # unrolled full train steps per dispatch (HLO size)
 
 
 def timeit_fused(fused_fn, *args, k=K, reps=3):
@@ -90,17 +91,17 @@ def build(batch_size, inject: bool):
 
 
 def fused_train_step(trainer, batch):
-    """K train steps on a device-resident batch in one jitted dispatch."""
+    """K_STEP train steps on a device-resident batch in one jitted dispatch
+    (UNROLLED chain, not lax.scan — see the layout caveat above)."""
     step = trainer._build_train_step()
     batch_dev = {k: jnp.asarray(v) for k, v in batch.items()}
 
     @jax.jit
     def run(state):
-        def body(s, _):
-            s2, loss = step(s, batch_dev)
-            return s2, loss
-        s, losses = jax.lax.scan(body, state, None, length=K)
-        return s, losses[-1]
+        loss = None
+        for _ in range(K_STEP):
+            state, loss = step(state, batch_dev)
+        return state, loss
 
     return run
 
@@ -123,24 +124,22 @@ def main():
 
         @jax.jit
         def dedup_k(ids_, dvec_):
-            def body(acc, _):
-                g = dedup_row_grads(ids_, dvec_, pad_id_base=V)
-                # consume the result so the loop isn't DCE'd; the carry makes
-                # each iteration depend on the last
-                return acc + g.rows[0, 0] + g.ids[0], None
-            acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=K)
+            acc = jnp.float32(0)
+            for _ in range(K):
+                # consume the result so iterations aren't DCE'd; feeding the
+                # carry back into the grads chains the iterations
+                g = dedup_row_grads(ids_ + (acc == jnp.inf), dvec_ + acc,
+                                    pad_id_base=V)
+                acc = g.rows[0, 0] + g.ids[0] * jnp.float32(1e-12)
             return acc
 
         @jax.jit
         def update_k(t0, m0, v0):
-            def body(carry, step_i):
-                t, m_, v_ = carry
+            t, m_, v_ = t0, m0, v0
+            for i in range(K):
                 t, m_, v_ = sparse_lazy_adam(t, m_, v_, ids, dvec,
-                                             step_i + 1, lr=1e-3)
-                return (t, m_, v_), None
-            carry, _ = jax.lax.scan(body, (t0, m0, v0),
-                                    jnp.arange(K, dtype=jnp.int32))
-            return carry
+                                             jnp.int32(i + 1), lr=1e-3)
+            return t, m_, v_
 
         t_dedup = timeit_fused(dedup_k, ids, dvec)
         t_update = timeit_fused(update_k, table, m, v)
@@ -162,7 +161,7 @@ def main():
         for inject in (False, True):
             trainer, batch = build(B, inject)
             run = fused_train_step(trainer, batch)
-            t_step = timeit_fused(run, trainer.state)
+            t_step = timeit_fused(run, trainer.state, k=K_STEP)
             row[f"step_ms[{'inject' if inject else 'patch'}]"] = round(t_step, 3)
             row[f"ex/s[{'inject' if inject else 'patch'}]"] = int(B / t_step * 1e3)
             del trainer, run
