@@ -57,6 +57,16 @@ def main():
                              "top-K ids per feature own slots, the tail "
                              "shares OOV buckets (tables shrink accordingly)")
     parser.add_argument("--raw", default=None, help="existing raw TSV (skips synthesis)")
+    parser.add_argument("--mesh", default=None,
+                        help="d,m — train on a (data, model) mesh through the "
+                             "explicit sharded-embedding engine (e.g. "
+                             "--cpu --mesh 4,2 with "
+                             "XLA_FLAGS=--xla_force_host_platform_device_count=8)")
+    parser.add_argument("--hot_mass", type=float, default=0.0,
+                        help="with --vocab_cap and --mesh: replicate the "
+                             "hottest rows carrying this fraction of lookup "
+                             "traffic on every device; the cold tail rides "
+                             "the all-to-all (strategy='hot_cold')")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
     if args.cpu:
@@ -125,10 +135,37 @@ def main():
         )
     dense = tuple(NumericColumn(feature_name=f"d_{i}") for i in range(13))
     label = CategoricalColumnWithIdentity(feature_name="label", category_num=2)
+
+    mesh = None
+    if args.mesh:
+        from pytorchrec_tpu.parallel import make_mesh
+
+        d, m = map(int, args.mesh.split(","))
+        mesh = make_mesh(data=d, model=m)
     model = DCNv2(sparse_columns=sparse, dense_columns=dense,
                   label_column=label, emb_size=16, num_cross_layers=3,
-                  layers=(256, 128), unified_embedding=True)
-    trainer = SparseEmbeddingTrainer(model)
+                  layers=(256, 128), unified_embedding=True,
+                  table_row_multiple=(m if mesh is not None else 1))
+    if mesh is not None and args.hot_mass > 0:
+        # the admission pass's traffic counts size the hot set directly:
+        # the unified table's slot space is the per-field spaces concatenated
+        assert args.vocab_cap, "--hot_mass needs --vocab_cap (traffic counts)"
+        from pytorchrec_tpu.training import ShardedSparseEmbeddingTrainer
+
+        counts = np.concatenate(
+            [vocabs[f"c_{i}"].slot_counts() for i in range(26)])
+        trainer = ShardedSparseEmbeddingTrainer(
+            model, mesh=mesh, strategy="hot_cold",
+            hot_counts={"unified": counts, "unified_lin": counts},
+            hot_rows=args.hot_mass)
+        print(f"hot/cold over {args.mesh} mesh: hot mass {args.hot_mass}",
+              flush=True)
+    elif mesh is not None:
+        from pytorchrec_tpu.training import ShardedSparseEmbeddingTrainer
+
+        trainer = ShardedSparseEmbeddingTrainer(model, mesh=mesh)
+    else:
+        trainer = SparseEmbeddingTrainer(model)
     trainer.compile(optimizer="adam", lr=1e-3, loss="bce", metrics=("auc",),
                     matmul_precision="bfloat16")
 

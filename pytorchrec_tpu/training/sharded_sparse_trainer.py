@@ -547,6 +547,23 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         )
         return jax.jit(step)
 
+    def make_serving_fn(self):
+        """Serving scores from the MERGED tables when hot/cold fragments are
+        in play — the exported artifact is layout-free (a plain [V, E] gather
+        model), deployable anywhere regardless of training placement."""
+        if not self._hot_layouts:
+            return super().make_serving_fn()
+        self._assert_compiled()
+        assert self.state is not None, "init_state()/fit() first"
+        model, params = self.model, self.merged_params()
+
+        @jax.jit
+        def serve(batch):
+            prediction, _ = model.apply({"params": params}, batch, train=False)
+            return prediction
+
+        return serve
+
     def merged_params(self):
         """Host copy of ``state.params`` with every hot/cold table merged
         back to its original [V, E] row order — for export/serving or
