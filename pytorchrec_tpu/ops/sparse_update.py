@@ -117,6 +117,36 @@ def sparse_lazy_adam(
     return table, m, v
 
 
+def sparse_rowwise_adagrad(
+    table: jnp.ndarray,  # [V, E]
+    accum: jnp.ndarray,  # [V] — ONE scalar second-moment per row
+    ids: jnp.ndarray,
+    dvec: jnp.ndarray,
+    lr: float,
+    eps: float = 1e-8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Row-wise Adagrad: the standard production embedding optimizer
+    (DLRM-style; the reference's torch Adam carries 2 full [V, E] moment
+    tables — `optim` rows in SURVEY §2.7 — this carries [V] floats).
+
+    ``acc[row] += mean(g_row**2)``; ``row -= lr * g_row / (sqrt(acc) + eps)``.
+    Optimizer HBM traffic per touched row drops from 4·E floats (adagrad) or
+    8·E (adam moments) to 2 floats — the sparse-update step becomes
+    table-read/write bound. Same math as the quantized trainer's internal
+    accumulator (training/quantized_trainer.py:149-151), exposed for f32
+    tables.
+    """
+    g = dedup_row_grads(ids, dvec, pad_id_base=table.shape[0])
+    acc_rows = jnp.take(accum, g.ids, mode="clip",
+                        indices_are_sorted=True, unique_indices=True)
+    new_acc = acc_rows + jnp.mean(jnp.square(g.rows), axis=-1)
+    delta = lr * g.rows / (jnp.sqrt(new_acc)[:, None] + eps)
+    flags = dict(mode="drop", indices_are_sorted=True, unique_indices=True)
+    table = table.at[g.ids].add(-delta * g.mask[:, None], **flags)
+    accum = accum.at[g.ids].add((new_acc - acc_rows) * g.mask, **flags)
+    return table, accum
+
+
 def sparse_adagrad(
     table: jnp.ndarray,
     accum: jnp.ndarray,

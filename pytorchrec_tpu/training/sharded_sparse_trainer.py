@@ -49,6 +49,7 @@ from pytorchrec_tpu.ops.sparse_update import (
     dedup_row_grads,
     sparse_adagrad,
     sparse_lazy_adam,
+    sparse_rowwise_adagrad,
 )
 from pytorchrec_tpu.parallel.embedding_engine import (
     all_to_all_lookup,
@@ -193,6 +194,9 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
             zh = jnp.zeros((h, e), leaf.dtype)
             if self.table_optimizer == "adam":
                 moments[path] = {"m": zc, "v": zc, "hot_m": zh, "hot_v": zh}
+            elif self.table_optimizer == "rowwise_adagrad":
+                moments[path] = {"acc": jnp.zeros((c,), leaf.dtype),
+                                 "hot_acc": jnp.zeros((h,), leaf.dtype)}
             else:
                 moments[path] = {"acc": zc, "hot_acc": zh}
         return flat, moments
@@ -426,10 +430,13 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                         moments[path] = {"m": cm, "v": cv,
                                          "hot_m": hm, "hot_v": hv}
                     else:
-                        cold_t, cacc = sparse_adagrad(
+                        upd = (sparse_rowwise_adagrad
+                               if table_optimizer == "rowwise_adagrad"
+                               else sparse_adagrad)
+                        cold_t, cacc = upd(
                             shard, moments[path]["acc"], local_ids, all_rows,
                             lr=table_lr)
-                        hot_t, hacc = sparse_adagrad(
+                        hot_t, hacc = upd(
                             flat[hot_key], moments[path]["hot_acc"],
                             h_ids, h_rows, lr=table_lr)
                         flat[path], flat[hot_key] = cold_t, hot_t
@@ -468,7 +475,10 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                     flat[path] = table
                     moments[path] = {"m": m, "v": v}
                 else:
-                    table, acc = sparse_adagrad(
+                    upd = (sparse_rowwise_adagrad
+                           if table_optimizer == "rowwise_adagrad"
+                           else sparse_adagrad)
+                    table, acc = upd(
                         shard, moments[path]["acc"], local_ids, all_rows,
                         lr=table_lr,
                     )

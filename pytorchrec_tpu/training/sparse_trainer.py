@@ -30,7 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import traverse_util
 
-from pytorchrec_tpu.ops.sparse_update import sparse_adagrad, sparse_lazy_adam
+from pytorchrec_tpu.ops.sparse_update import (
+    sparse_adagrad,
+    sparse_lazy_adam,
+    sparse_rowwise_adagrad,
+)
 from pytorchrec_tpu.training.state import TrainState
 from pytorchrec_tpu.training.trainer import Trainer
 
@@ -69,7 +73,8 @@ class SparseEmbeddingTrainer(Trainer):
         assert hasattr(model, "sparse_table_ids"), (
             f"{type(model).__name__} does not implement sparse_table_ids()"
         )
-        assert table_optimizer in ("adam", "adagrad"), table_optimizer
+        assert table_optimizer in ("adam", "adagrad",
+                                   "rowwise_adagrad"), table_optimizer
         super().__init__(model, mesh=mesh)
         self.table_optimizer = table_optimizer
         # rows injection (via the model's sharded_table_specs protocol) feeds
@@ -129,6 +134,12 @@ class SparseEmbeddingTrainer(Trainer):
         if self.table_optimizer == "adam":
             moments = {
                 path: {"m": jnp.zeros_like(flat[path]), "v": jnp.zeros_like(flat[path])}
+                for path in table_paths
+            }
+        elif self.table_optimizer == "rowwise_adagrad":
+            # ONE f32 second-moment per row (16-64x less optimizer HBM)
+            moments = {
+                path: {"acc": jnp.zeros(flat[path].shape[0], jnp.float32)}
                 for path in table_paths
             }
         else:
@@ -217,7 +228,10 @@ class SparseEmbeddingTrainer(Trainer):
                     flat[path] = table
                     moments[path] = {"m": m, "v": v}
                 else:
-                    table, acc = sparse_adagrad(
+                    update = (sparse_rowwise_adagrad
+                              if table_optimizer == "rowwise_adagrad"
+                              else sparse_adagrad)
+                    table, acc = update(
                         flat[path], moments[path]["acc"], ids, row_grads[path],
                         lr=table_lr,
                     )

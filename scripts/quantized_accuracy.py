@@ -57,6 +57,27 @@ def run_quantized(seed: int, bits: int, col_groups: int):
     return logs["auc"], logs["logloss"]
 
 
+def run_rowwise(seed: int):
+    """f32 tables + SparseEmbeddingTrainer(rowwise_adagrad): isolates the
+    optimizer swap from quantization (one f32 accumulator per row, 8E x less
+    optimizer HBM than Adam's two [V, E] moments)."""
+    from pytorchrec_tpu.models import DCNv2
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+
+    reader = get_reader(seed)
+    sparse, dense, label = feature_lists(reader)
+    model = DCNv2(sparse_columns=tuple(sparse), dense_columns=tuple(dense),
+                  label_column=label, emb_size=EMB, num_cross_layers=CROSS,
+                  layers=MLP, unified_embedding=True)
+    t = SparseEmbeddingTrainer(model, table_optimizer="rowwise_adagrad")
+    t.compile(optimizer="adam", lr=LR, loss="bce",
+              metrics=("auc", "logloss"), user_sample_n=1)
+    t.fit(reader, batch_size=BATCH, epochs=EPOCHS, verbose=0, eval_dev=False,
+          seed=seed)
+    logs = t.evaluate(reader, split="dev", batch_size=BATCH)
+    return logs["auc"], logs["logloss"]
+
+
 def main():
     import jax
 
@@ -71,6 +92,7 @@ def main():
 
     variants = [
         ("f32", lambda s: run_ours(s)),
+        ("f32 rowwise-adagrad", run_rowwise),
         ("int8 G=1", lambda s: run_quantized(s, bits=8, col_groups=1)),
         ("int4 G=1", lambda s: run_quantized(s, bits=4, col_groups=1)),
         ("int4 G=4", lambda s: run_quantized(s, bits=4, col_groups=4)),

@@ -158,6 +158,7 @@ def _tree_allclose(a, b, rtol=1e-3, atol=1e-5):
 
 @pytest.mark.parametrize("table_optimizer,strategy", [
     ("adam", "1d"), ("adam", "grid"), ("adagrad", "1d"), ("adagrad", "grid"),
+    ("rowwise_adagrad", "1d"), ("rowwise_adagrad", "grid"),
 ])
 def test_funksvd_fit_matches_single_device(ranking_reader, table_optimizer,
                                            strategy):

@@ -75,6 +75,33 @@ def test_sparse_adagrad_touched_rows():
     assert np.asarray(new_table)[2, 0] < 1.0
 
 
+def test_sparse_rowwise_adagrad_matches_manual():
+    """One f32 accumulator per ROW: acc += mean(g^2); duplicates pre-summed;
+    untouched rows frozen; out-of-range/padding ids dropped."""
+    from pytorchrec_tpu.ops.sparse_update import sparse_rowwise_adagrad
+
+    V, E = 20, 4
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32))
+    acc = jnp.asarray(rng.random(V).astype(np.float32))
+    ids = jnp.asarray([2, 2, 4, 19], jnp.int32)
+    dvec = jnp.asarray(rng.normal(size=(4, E)).astype(np.float32))
+    new_table, new_acc = sparse_rowwise_adagrad(table, acc, ids, dvec, lr=0.1)
+
+    t, a = np.asarray(table).copy(), np.asarray(acc).copy()
+    for row in (2, 4, 19):
+        g = np.asarray(dvec)[np.asarray(ids) == row].sum(axis=0)
+        a[row] += np.mean(g ** 2)
+        t[row] -= 0.1 * g / (np.sqrt(a[row]) + 1e-8)
+    np.testing.assert_allclose(np.asarray(new_acc), a, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_table), t, rtol=1e-5)
+    # untouched rows bit-identical
+    mask = np.ones(V, bool)
+    mask[[2, 4, 19]] = False
+    np.testing.assert_array_equal(np.asarray(new_table)[mask],
+                                  np.asarray(table)[mask])
+
+
 @pytest.fixture(scope="module")
 def dataset_dir(tmp_path_factory):
     from pytorchrec_tpu.data.process.datasets.synthetic import generate_synthetic_ml
