@@ -14,6 +14,7 @@ from pytorchrec_tpu.parallel.sharding import (
 from pytorchrec_tpu.parallel.embedding_engine import (
     all_to_all_lookup,
     all_to_all_rowgrad,
+    bucket_capacity,
     grid_lookup,
     grid_rowgrad,
     make_sharded_lookup,
@@ -33,6 +34,7 @@ __all__ = [
     "masked_psum_lookup",
     "all_to_all_lookup",
     "all_to_all_rowgrad",
+    "bucket_capacity",
     "grid_lookup",
     "grid_rowgrad",
     "make_sharded_lookup",

@@ -26,16 +26,32 @@ transpose materializes a dense [V/m, E] gradient).
 Static-shape discipline: the all_to_all path uses a fixed per-destination
 capacity (= local batch size) so nothing is data-dependent — padding slots
 carry a sentinel id routed out of range and masked/dropped downstream.
+
+Capacity factors (FUTURE #1's remaining lead): the worst-case send matrix
+``[m, b]`` pads every bucket to the FULL id count, so exchange bytes are
+``m x`` the useful payload. Passing ``capacity=c`` (sized by
+``bucket_capacity``; c ~= 2·b/m for hashed/uniform id streams) shrinks the
+buckets to ``[m, c]`` — an ``m/2 x`` traffic cut — while staying EXACT:
+
+* lookup — ids that overflow their bucket are resolved by a second,
+  worst-case-capacity exchange round guarded by ``lax.cond`` on a psum'd
+  overflow flag (every shard in the axis group agrees, so the collective
+  branch is taken by all or none; with a 2x factor on hashed streams the
+  Chernoff tail makes it fire ~never);
+* rowgrad — overflowed (id, grad) entries ride a same-guarded
+  ``all_gather`` appendix that owners filter locally; the appendix slots
+  are sentinel-padded so downstream dedup/scatter drops them.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
 from pytorchrec_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -85,65 +101,156 @@ def _route_by_owner(ids: jnp.ndarray, rows_per_shard: int, m: int) -> _Routing:
                     sorted_owner=sorted_owner, pos_in_bucket=pos_in_bucket)
 
 
+def bucket_capacity(n: int, n_shards: int, factor: float = 2.0) -> int:
+    """Per-destination bucket capacity for ``n`` ids over ``n_shards``.
+
+    ``factor`` multiplies the uniform expectation ``n / n_shards``; 2.0 puts
+    hashed/uniform streams past the Chernoff tail (P[bucket > 2u] <= 0.68^u).
+    Skewed (Zipfian) streams should shed their head via the hot/cold layout
+    first — the capacity path is for the quasi-uniform tail."""
+    return max(1, min(n, int(np.ceil(n / n_shards * factor))))
+
+
+def _resolve_capacity(capacity, n: int, n_shards: int) -> Optional[int]:
+    """``capacity`` as int = absolute bucket size; float = factor over the
+    uniform expectation ``n / n_shards`` (via ``bucket_capacity``)."""
+    if capacity is None:
+        return None
+    if isinstance(capacity, float):
+        return bucket_capacity(n, n_shards, capacity)
+    return int(capacity)
+
+
 def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
-                      axis_name: str = MODEL_AXIS) -> jnp.ndarray:
+                      axis_name: str = MODEL_AXIS,
+                      capacity: Optional[int] = None) -> jnp.ndarray:
     """Per-shard body: route ids to owners, gather, route vectors back.
 
     ``ids`` must be 1-D here ([B_local]); callers flatten/unflatten.
+    ``capacity``: per-destination bucket size — int = absolute, float =
+    factor over the uniform expectation ``b/m`` (default None = worst case
+    ``b``). With a bounded capacity the result is still exact — overflowed
+    ids are resolved by a psum fallback round taken only on steps where any
+    shard in the axis group overflowed (see module docstring).
     """
     m = jax.lax.axis_size(axis_name)
     rows = table_shard.shape[0]
     (b,) = ids.shape
+    capacity = _resolve_capacity(capacity, b, m)
+    c = b if capacity is None else min(capacity, b)
     r = _route_by_owner(ids, rows, m)
     sorted_ids = ids[r.order]
+    fits = r.pos_in_bucket < c
+    pos = jnp.where(fits, r.pos_in_bucket, c)  # overflow -> dropped
 
-    # send matrix [m, b]: bucket d holds the ids owned by shard d (padded 0)
-    send = jnp.zeros((m, b), dtype=ids.dtype)
-    send = send.at[r.sorted_owner, r.pos_in_bucket].set(sorted_ids)
+    # send matrix [m, c]: bucket d holds the ids owned by shard d (padded 0)
+    send = jnp.zeros((m, c), dtype=ids.dtype)
+    send = send.at[r.sorted_owner, pos].set(
+        jnp.where(fits, sorted_ids, 0), mode="drop")
 
     # exchange: receive the ids every shard wants from *us*
     recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0,
-                              tiled=False)  # [m, b]
+                              tiled=False)  # [m, c]
     shard_index = jax.lax.axis_index(axis_name)
     local = jnp.clip(recv - shard_index * rows, 0, rows - 1)
-    gathered = table_shard[local]  # [m, b, E]
+    gathered = table_shard[local]  # [m, c, E]
 
     # send vectors back along the reverse route
     back = jax.lax.all_to_all(gathered, axis_name, split_axis=0, concat_axis=0,
-                              tiled=False)  # [m, b, E]
+                              tiled=False)  # [m, c, E]
     # unscatter: row i of the original order lives at [owner_i, pos_i]
-    sorted_vectors = back[r.sorted_owner, r.pos_in_bucket]  # [B, E]
-    return sorted_vectors[r.inverse]
+    sorted_vectors = back[r.sorted_owner, jnp.minimum(pos, c - 1)]  # [b, E]
+    vectors = sorted_vectors[r.inverse]
+    if capacity is None or c == b:
+        return vectors
+
+    # exact overflow fallback: one worst-case-capacity round, taken by the
+    # whole axis group or not at all (the flag is psum'd, so it agrees
+    # everywhere). A full a2a round — NOT masked_psum_lookup — because the
+    # fallback must not assume ids are replicated across the group (they are
+    # per-data-shard in the grid layout).
+    need = (~fits)[r.inverse]
+    any_over = jax.lax.psum(jnp.sum(need.astype(jnp.int32)), axis_name) > 0
+
+    def fallback(_):
+        return all_to_all_lookup(table_shard, ids, axis_name, capacity=None)
+
+    over = jax.lax.cond(any_over, fallback,
+                        lambda _: jnp.zeros_like(vectors), None)
+    return jnp.where(need[:, None], over, vectors)
 
 
 def _exchange_rowgrads(my_ids: jnp.ndarray, my_grads: jnp.ndarray,
-                       rows_per_shard: int, axis_name) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       rows_per_shard: int, axis_name,
+                       capacity: Optional[int] = None,
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Route this shard's (ids, grads) chunk to owner shards over
     ``axis_name`` (a name or tuple of names — tuples route over the
     flattened grid). Padding/buckets carry the out-of-range sentinel
-    ``n_shards * rows_per_shard`` so scatters drop them."""
+    ``n_shards * rows_per_shard`` so scatters drop them.
+
+    ``capacity``: per-destination bucket size (default = worst case ``k``).
+    Bounded capacity stays exact: overflowed entries ride an all_gather
+    appendix (guarded by a psum'd flag, so the whole group takes it or no
+    one does) that owners filter locally; appendix slots for entries owned
+    elsewhere carry the sentinel. The returned length grows from
+    ``n_shards*c`` to ``n_shards*c + n_shards*k`` when capacity is set."""
     n_shards = jax.lax.axis_size(axis_name)
     k = my_ids.shape[0]
+    capacity = _resolve_capacity(capacity, k, n_shards)
+    c = k if capacity is None else min(capacity, k)
     sentinel = jnp.asarray(n_shards * rows_per_shard, my_ids.dtype)
     r = _route_by_owner(my_ids, rows_per_shard, n_shards)
     sorted_ids = my_ids[r.order]
     sorted_grads = my_grads[r.order]
+    fits = r.pos_in_bucket < c
+    pos = jnp.where(fits, r.pos_in_bucket, c)  # overflow -> dropped
 
-    send_ids = jnp.full((n_shards, k), sentinel, dtype=my_ids.dtype)
-    send_ids = send_ids.at[r.sorted_owner, r.pos_in_bucket].set(sorted_ids)
-    send_grads = jnp.zeros((n_shards, k, my_grads.shape[-1]), my_grads.dtype)
-    send_grads = send_grads.at[r.sorted_owner, r.pos_in_bucket].set(sorted_grads)
+    send_ids = jnp.full((n_shards, c), sentinel, dtype=my_ids.dtype)
+    send_ids = send_ids.at[r.sorted_owner, pos].set(
+        jnp.where(fits, sorted_ids, sentinel), mode="drop")
+    send_grads = jnp.zeros((n_shards, c, my_grads.shape[-1]), my_grads.dtype)
+    send_grads = send_grads.at[r.sorted_owner, pos].set(
+        jnp.where(fits[:, None], sorted_grads, 0.0), mode="drop")
 
     recv_ids = jax.lax.all_to_all(send_ids, axis_name, split_axis=0,
                                   concat_axis=0, tiled=False)
     recv_grads = jax.lax.all_to_all(send_grads, axis_name, split_axis=0,
                                     concat_axis=0, tiled=False)
-    return recv_ids.reshape(n_shards * k), recv_grads.reshape(n_shards * k, -1)
+    out_ids = recv_ids.reshape(n_shards * c)
+    out_grads = recv_grads.reshape(n_shards * c, -1)
+    if capacity is None or c == k:
+        return out_ids, out_grads
+
+    # exact overflow appendix (rare; see bucket_capacity)
+    any_over = jax.lax.psum(
+        jnp.sum((~fits).astype(jnp.int32)), axis_name) > 0
+    ov_ids = jnp.where(fits, sentinel, sorted_ids)
+    ov_grads = jnp.where(fits[:, None], 0.0, sorted_grads)
+    me = jax.lax.axis_index(axis_name)
+
+    def gathered(_):
+        gi = jax.lax.all_gather(ov_ids, axis_name, tiled=True)
+        gg = jax.lax.all_gather(ov_grads, axis_name, tiled=True)
+        mine = (jnp.clip(gi // rows_per_shard, 0, n_shards - 1) == me) & (
+            gi < sentinel)
+        return (jnp.where(mine, gi, sentinel),
+                jnp.where(mine[:, None], gg, 0.0))
+
+    def empty(_):
+        return (jnp.full((n_shards * k,), sentinel, my_ids.dtype),
+                jnp.zeros((n_shards * k, my_grads.shape[-1]), my_grads.dtype))
+
+    app_ids, app_grads = jax.lax.cond(any_over, gathered, empty, None)
+    return (jnp.concatenate([out_ids, app_ids]),
+            jnp.concatenate([out_grads, app_grads]))
 
 
 def all_to_all_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
                        rows_per_shard: int,
-                       axis_name: str = MODEL_AXIS) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                       axis_name: str = MODEL_AXIS,
+                       capacity: Optional[int] = None,
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Route per-occurrence row gradients to their owner shards.
 
     Per-shard body (inside shard_map). ``ids [n]`` / ``row_grads [n, E]`` are
@@ -175,7 +282,8 @@ def all_to_all_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
     my_grads = jax.lax.dynamic_slice_in_dim(row_grads, shard_index * k, k)
     # sentinel padding ids clip to owner m-1 and stay sentinel on arrival —
     # dropped downstream like the bucket padding
-    return _exchange_rowgrads(my_ids, my_grads, rows_per_shard, axis_name)
+    return _exchange_rowgrads(my_ids, my_grads, rows_per_shard, axis_name,
+                              capacity=capacity)
 
 
 # ---------------------------------------------------------------------------
@@ -193,7 +301,8 @@ def all_to_all_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
 
 
 def grid_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
-                axes: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS)) -> jnp.ndarray:
+                axes: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS),
+                capacity: Optional[int] = None) -> jnp.ndarray:
     """Per-device body: grid-sharded table lookup.
 
     ``table_shard``: [V/(d*m), E] — this device's rows of the grid layout.
@@ -217,7 +326,8 @@ def grid_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     k = ids.shape[0] // m
     mi = jax.lax.axis_index(model_axis)
     my_ids = jax.lax.dynamic_slice_in_dim(ids, mi * k, k)
-    vectors = all_to_all_lookup(table_shard, my_ids, axes)  # [k, E]
+    vectors = all_to_all_lookup(table_shard, my_ids, axes,
+                                capacity=capacity)  # [k, E]
     full = jax.lax.all_gather(vectors, model_axis, tiled=True)  # [b+pad, E]
     return full[:b]
 
@@ -225,6 +335,7 @@ def grid_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
 def grid_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
                  rows_per_shard: int,
                  axes: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS),
+                 capacity: Optional[int] = None,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Route per-occurrence row grads to their unique grid owner.
 
@@ -250,7 +361,8 @@ def grid_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
     mi = jax.lax.axis_index(model_axis)
     my_ids = jax.lax.dynamic_slice_in_dim(ids, mi * k, k)
     my_grads = jax.lax.dynamic_slice_in_dim(row_grads, mi * k, k)
-    return _exchange_rowgrads(my_ids, my_grads, rows_per_shard, axes)
+    return _exchange_rowgrads(my_ids, my_grads, rows_per_shard, axes,
+                              capacity=capacity)
 
 
 def make_sharded_lookup(mesh: Mesh, strategy: str = "psum"):

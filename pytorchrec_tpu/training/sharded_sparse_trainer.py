@@ -100,7 +100,8 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
     def __init__(self, model, mesh, table_optimizer: str = "adam",
                  strategy: str = "1d", grad_compression: str | None = None,
                  grad_compression_min_size: int | None = None,
-                 hot_counts=None, hot_rows=0.9):
+                 hot_counts=None, hot_rows=0.9,
+                 exchange_capacity: float | int | None = None):
         assert mesh is not None, "ShardedSparseEmbeddingTrainer requires a mesh"
         assert strategy in ("1d", "grid", "hot_cold"), strategy
         assert grad_compression in (None, "int8"), grad_compression
@@ -120,6 +121,11 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
             f"{type(model).__name__} does not implement sharded_table_specs()"
         )
         self.strategy = strategy
+        # bounded-capacity exchange buckets (embedding_engine.bucket_capacity):
+        # float = factor over the uniform expectation (2.0 recommended for
+        # hashed/admitted id streams), int = absolute bucket size, None =
+        # exact worst case. Exactness is kept either way (overflow fallback).
+        self.exchange_capacity = exchange_capacity
         # hot/cold sizing: {spec_name: counts [V]} + replica budget
         # (int = top-K rows, float in (0,1) = traffic-mass fraction a la
         # data/vocab.py::FrequencyVocab.hot_rows)
@@ -297,6 +303,7 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         grid = self.strategy == "grid"
         compress = self.grad_compression == "int8"
         table_axes = (DATA_AXIS, MODEL_AXIS)
+        cap = self.exchange_capacity
         hot_layouts = dict(self._hot_layouts)
         # layout perms are static (fixed at init): closed over as constants
         hot_perms = {p: jnp.asarray(lo.perm) for p, lo in hot_layouts.items()}
@@ -334,14 +341,17 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                         flat_params["hot_tables/" + path])
                     hot_vec = hot[jnp.clip(packed, 0, h - 1)]
                     cold_ids = jnp.where(is_hot, 0, packed - h)
-                    cold_vec = all_to_all_lookup(shard, cold_ids, MODEL_AXIS)
+                    cold_vec = all_to_all_lookup(shard, cold_ids, MODEL_AXIS,
+                                                 capacity=cap)
                     rows_in[name] = jnp.where(
                         is_hot[:, None], hot_vec, cold_vec)
                     hot_aux[name] = (packed, is_hot)
                 elif grid:
-                    rows_in[name] = grid_lookup(shard, ids, table_axes)
+                    rows_in[name] = grid_lookup(shard, ids, table_axes,
+                                                capacity=cap)
                 else:
-                    rows_in[name] = all_to_all_lookup(shard, ids, MODEL_AXIS)
+                    rows_in[name] = all_to_all_lookup(shard, ids, MODEL_AXIS,
+                                                      capacity=cap)
 
             def compute_loss(params, rows):
                 patched = dict(batch)
@@ -402,7 +412,8 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                         m_axis * rows_per_shard, packed.dtype)
                     cold_gids = jnp.where(is_hot, cold_sent, packed - h)
                     r_ids, r_rows = all_to_all_rowgrad(
-                        cold_gids, g_occ, rows_per_shard, MODEL_AXIS)
+                        cold_gids, g_occ, rows_per_shard, MODEL_AXIS,
+                        capacity=cap)
                     g = dedup_row_grads(r_ids, r_rows)
                     all_ids = jax.lax.all_gather(g.ids, DATA_AXIS, tiled=True)
                     all_rows = jax.lax.all_gather(g.rows, DATA_AXIS, tiled=True)
@@ -447,7 +458,7 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                     # dedup + apply locally, no data-axis gather at all
                     r_ids, r_rows = grid_rowgrad(
                         ids_map[name], row_grads[name] * inv_data,
-                        rows_per_shard, table_axes,
+                        rows_per_shard, table_axes, capacity=cap,
                     )
                     g = dedup_row_grads(r_ids, r_rows)
                     all_ids, all_rows = g.ids, g.rows
@@ -455,7 +466,7 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                 else:
                     r_ids, r_rows = all_to_all_rowgrad(
                         ids_map[name], row_grads[name] * inv_data,
-                        rows_per_shard, MODEL_AXIS,
+                        rows_per_shard, MODEL_AXIS, capacity=cap,
                     )
                     # dedup before the data-axis gather (cuts its payload
                     # m-fold for duplicate-heavy batches; padding carries the
@@ -520,6 +531,7 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         table_paths = self._table_paths
         hot_layouts = dict(self._hot_layouts)
         hot_perms = {p: jnp.asarray(lo.perm) for p, lo in hot_layouts.items()}
+        cap = self.exchange_capacity
 
         def eval_body(params, batch):
             flat = _flatten(params)
@@ -534,7 +546,8 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                 path = spec["path"]
                 layout = hot_layouts.get(path)
                 if layout is None:
-                    rows = all_to_all_lookup(flat[path], ids, MODEL_AXIS)
+                    rows = all_to_all_lookup(flat[path], ids, MODEL_AXIS,
+                                             capacity=cap)
                 else:
                     h = layout.hot_rows
                     packed = hot_perms[path][ids]
@@ -543,7 +556,7 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                         jnp.clip(packed, 0, h - 1)]
                     cold_ids = jnp.where(is_hot, 0, packed - h)
                     cold_vec = all_to_all_lookup(
-                        flat[path], cold_ids, MODEL_AXIS)
+                        flat[path], cold_ids, MODEL_AXIS, capacity=cap)
                     rows = jnp.where(is_hot[:, None], hot_vec, cold_vec)
                 patched[spec["rows_key"]] = rows
             return model.apply({"params": params}, patched, train=False)

@@ -78,6 +78,136 @@ def test_rowgrad_exchange_routes_to_owner_shards():
     np.testing.assert_allclose(received, dense, rtol=1e-6)
 
 
+@pytest.mark.parametrize("capacity", [1, 3, 2.0])
+def test_lookup_capacity_exact_under_overflow(capacity):
+    """Bounded-capacity all_to_all lookup stays EXACT even when buckets
+    overflow (here: skewed ids concentrating on one owner force overflow at
+    capacity 1/3; factor 2.0 with skew also overflows) — the psum fallback
+    round resolves the overflowed ids."""
+    from pytorchrec_tpu.parallel import all_to_all_lookup
+
+    mesh = make_mesh(data=2, model=4)
+    V, E, B = 32, 4, 16
+    rng = np.random.default_rng(2)
+    table = rng.normal(size=(V, E)).astype(np.float32)
+    # adversarial skew: most ids owned by shard 0 (rows 0..7)
+    ids = np.concatenate([rng.integers(0, 8, size=B - 4),
+                          rng.integers(8, V, size=4)]).astype(np.int32)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(PartitionSpec(MODEL_AXIS, None), PartitionSpec(DATA_AXIS)),
+        out_specs=PartitionSpec(DATA_AXIS, None),
+        check_vma=False,
+    )
+    def lookup(table_shard, ids_local):
+        return all_to_all_lookup(table_shard, ids_local, MODEL_AXIS,
+                                 capacity=capacity)
+
+    out = np.asarray(lookup(jnp.asarray(table), jnp.asarray(ids)))
+    np.testing.assert_allclose(out, table[ids], rtol=1e-6)
+
+
+@pytest.mark.parametrize("capacity", [1, 2, 2.0])
+def test_rowgrad_capacity_exact_under_overflow(capacity):
+    """Bounded-capacity rowgrad exchange: received grads (buckets + the
+    all_gather overflow appendix) still sum to the dense scatter-add, and
+    every non-sentinel id is owned by the receiving shard."""
+    mesh = make_mesh(data=2, model=4)
+    V, E, B = 32, 4, 16
+    rows_per_shard = V // 4
+    rng = np.random.default_rng(3)
+    ids = np.concatenate([rng.integers(0, 8, size=B - 4),
+                          rng.integers(8, V, size=4)]).astype(np.int32)
+    grads = rng.normal(size=(B, E)).astype(np.float32)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(PartitionSpec(DATA_AXIS), PartitionSpec(DATA_AXIS, None)),
+        out_specs=(PartitionSpec(DATA_AXIS, MODEL_AXIS),
+                   PartitionSpec(DATA_AXIS, MODEL_AXIS, None)),
+        check_vma=False,
+    )
+    def exchange(ids_local, grads_local):
+        r_ids, r_rows = all_to_all_rowgrad(ids_local, grads_local,
+                                           rows_per_shard=rows_per_shard,
+                                           axis_name=MODEL_AXIS,
+                                           capacity=capacity)
+        return r_ids[None, :], r_rows[None, :, :]
+
+    r_ids, r_rows = exchange(jnp.asarray(ids), jnp.asarray(grads))
+    r_ids, r_rows = np.asarray(r_ids), np.asarray(r_rows)
+    sentinel = V
+
+    dense = np.zeros((V, E), np.float32)
+    for i, g in zip(ids, grads):
+        dense[i] += g
+
+    received = np.zeros((V, E), np.float32)
+    d, total = r_ids.shape
+    per_owner = total // 4
+    for di in range(d):
+        for j in range(total):
+            rid = r_ids[di, j]
+            if rid >= sentinel:
+                assert np.all(r_rows[di, j] == 0.0)
+                continue
+            assert rid // rows_per_shard == j // per_owner, (rid, j)
+            received[rid] += r_rows[di, j]
+    # reassociation: bucket + appendix contributions sum in a different order
+    np.testing.assert_allclose(received, dense, rtol=1e-5, atol=1e-7)
+
+
+def test_grid_capacity_exact_under_overflow():
+    """Grid lookup + rowgrad with a tiny absolute capacity (forced
+    overflow): results match the unbounded path exactly."""
+    from pytorchrec_tpu.parallel import grid_lookup, grid_rowgrad
+
+    mesh = make_mesh(data=4, model=2)
+    V, E, B = 64, 4, 32
+    rows_per_dev = V // 8
+    rng = np.random.default_rng(4)
+    table = rng.normal(size=(V, E)).astype(np.float32)
+    ids = np.concatenate([rng.integers(0, rows_per_dev, size=B - 6),
+                          rng.integers(rows_per_dev, V, size=6)]).astype(np.int32)
+    grads = rng.normal(size=(B, E)).astype(np.float32)
+    AX = (DATA_AXIS, MODEL_AXIS)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(PartitionSpec(AX, None), PartitionSpec(DATA_AXIS),
+                  PartitionSpec(DATA_AXIS, None)),
+        out_specs=(PartitionSpec(DATA_AXIS, None),
+                   PartitionSpec(AX), PartitionSpec(AX, None)),
+        check_vma=False,
+    )
+    def body(table_shard, ids_local, grads_local):
+        vecs = grid_lookup(table_shard, ids_local, AX, capacity=1)
+        r_ids, r_rows = grid_rowgrad(ids_local, grads_local, rows_per_dev,
+                                     AX, capacity=1)
+        vecs = jax.lax.psum(vecs, MODEL_AXIS) / jax.lax.axis_size(MODEL_AXIS)
+        return vecs, r_ids, r_rows
+
+    vecs, r_ids, r_rows = body(jnp.asarray(table), jnp.asarray(ids),
+                               jnp.asarray(grads))
+    np.testing.assert_allclose(np.asarray(vecs), table[ids], rtol=1e-6)
+
+    r_ids, r_rows = np.asarray(r_ids), np.asarray(r_rows)
+    sentinel = V
+    dense = np.zeros((V, E), np.float32)
+    for i, g in zip(ids, grads):
+        dense[i] += g
+    received = np.zeros((V, E), np.float32)
+    per_dev = len(r_ids) // 8
+    for j, (rid, row) in enumerate(zip(r_ids, r_rows)):
+        if rid >= sentinel:
+            assert np.all(row == 0.0)
+            continue
+        assert rid // rows_per_dev == j // per_dev
+        received[rid] += row
+    np.testing.assert_allclose(received, dense, rtol=1e-5, atol=1e-6)
+
+
 def test_grid_lookup_and_rowgrad_route_to_unique_owner():
     """2-D grid: lookups return the right rows with ids replicated over the
     model axis, and every row gradient lands on its SINGLE grid owner —
@@ -215,6 +345,44 @@ def test_funksvd_fit_matches_single_device(ranking_reader, table_optimizer,
         )
 
     # eval on the mesh agrees with single-device eval
+    e_single = single.evaluate(ranking_reader, split="dev", batch_size=32)
+    e_sharded = sharded.evaluate(ranking_reader, split="dev", batch_size=32)
+    assert e_single["hit@5"] == pytest.approx(e_sharded["hit@5"], abs=1e-6)
+
+
+@pytest.mark.parametrize("strategy", ["1d", "grid"])
+def test_fit_with_bounded_exchange_capacity_matches_single_device(
+        ranking_reader, strategy):
+    """fit() with exchange_capacity=1 (every bucket overflows -> the exact
+    fallback round runs inside the jitted shard_map step every step) still
+    matches single-device training."""
+    from pytorchrec_tpu.models import FunkSVD
+    from pytorchrec_tpu.training import (
+        ShardedSparseEmbeddingTrainer,
+        SparseEmbeddingTrainer,
+    )
+    from pytorchrec_tpu.utils import constants as C
+
+    cols = ranking_reader.get_feature_column_dict()
+
+    def run(mesh):
+        model = FunkSVD(uid_column=cols[C.UID], iid_column=cols[C.IID],
+                        label_column=cols[C.LABEL], emb_size=8,
+                        table_row_multiple=8)
+        if mesh is None:
+            tr = SparseEmbeddingTrainer(model)
+        else:
+            tr = ShardedSparseEmbeddingTrainer(model, mesh=mesh,
+                                               strategy=strategy,
+                                               exchange_capacity=1)
+        tr.compile(optimizer="adam", lr=0.01, loss="bce",
+                   metrics=("hit@5",), user_sample_n=10)
+        tr.fit(ranking_reader, batch_size=32, epochs=1, verbose=0,
+               eval_dev=False, seed=7)
+        return tr
+
+    single, sharded = run(None), run(make_mesh(data=4, model=2))
+    _tree_allclose(single.state.params, sharded.state.params)
     e_single = single.evaluate(ranking_reader, split="dev", batch_size=32)
     e_sharded = sharded.evaluate(ranking_reader, split="dev", batch_size=32)
     assert e_single["hit@5"] == pytest.approx(e_sharded["hit@5"], abs=1e-6)
