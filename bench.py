@@ -7,6 +7,12 @@ torch DCN-v2 train step (embedding gathers + cross layers + MLP + Adam) on
 this host's CPU — the reference is torch, single-device, CPU-or-GPU
 (task/Task.py:187-190), and this environment has no GPU.
 
+Timing is FETCH-FORCED (float(loss) of a state-chained step sequence), not
+block_until_ready-based: through this environment's remote-device tunnel,
+block_until_ready can return before execution completes, so the old
+instrument measured the enqueue rate (see bench_tpu). Numbers produced
+before 2026-08-17 overstate throughput by that artifact.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -29,8 +35,8 @@ CROSS_LAYERS = 3
 MLP_UNITS = (256, 128)
 
 WARMUP_STEPS = 5
-MEASURE_STEPS = 10
-MEASURE_WINDOWS = 6  # best-of-N: the TPU link latency varies between runs
+MEASURE_STEPS = 20
+MEASURE_WINDOWS = 3  # best-of-N guards against transient link slowdowns
 TORCH_MEASURE_STEPS = 5
 
 
@@ -83,17 +89,26 @@ def bench_tpu() -> list:
     trainer.init_state(batches[0], seed=0)
 
     for i in range(WARMUP_STEPS):
-        trainer._train_step(batches[i % len(batches)])
-    jax.block_until_ready(trainer.state.params)
+        loss = trainer._train_step(batches[i % len(batches)])
+    float(loss)  # fetch-forced sync (see below)
 
-    # N windows: the per-window distribution separates framework perf from
-    # transient device-link slowdowns (callers report best AND median)
+    # MEASUREMENT CONTRACT (round-2 correction): through the axon tunnel,
+    # ``jax.block_until_ready`` can return BEFORE device execution finishes
+    # (measured 2026-08-17: a step chain "completed" 10x faster than the HBM
+    # roofline allows; fetch-forced timing of the same chain was ~90x
+    # slower). block_until_ready-based windows measure the ENQUEUE rate, not
+    # throughput — every pre-correction bench number overstated accordingly.
+    # The only airtight completion signal is FETCHING a value that
+    # data-depends on the whole chain: steps are state-chained (donated
+    # state), so float(loss_k) forces steps 1..k-1 entirely plus step k's
+    # forward. One extra dispatch is appended so the fetched loss also
+    # covers the last measured step's table update.
     windows = []
     for _ in range(MEASURE_WINDOWS):
         start = time.perf_counter()
-        for i in range(MEASURE_STEPS):
+        for i in range(MEASURE_STEPS + 1):
             loss = trainer._train_step(batches[i % len(batches)])
-        jax.block_until_ready(loss)
+        float(loss)
         elapsed = time.perf_counter() - start
         windows.append(MEASURE_STEPS * BATCH / elapsed)
     return windows
