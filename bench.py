@@ -78,9 +78,11 @@ def bench_tpu() -> list:
         # sparse update (~15% faster, interleaved A/B)
         unified_embedding=True,
     )
-    # production path: row-sparse lazy-Adam table updates (29% faster than
-    # dense Adam on this config — only touched rows move through HBM)
-    trainer = SparseEmbeddingTrainer(model)
+    # production path: row-sparse lazy-Adam over PACKED [V, 3E] table||m||v
+    # leaves — row ops on this hardware are latency-bound (~29/107 ns/row
+    # regardless of row bytes), so packing cuts the update's per-row passes
+    # from ~6 to 3 (ops/sparse_update.py::packed_sparse_update)
+    trainer = SparseEmbeddingTrainer(model, packed_tables=True)
     trainer.compile(optimizer="adam", lr=1e-3, loss="bce", metrics=("auc",),
                     matmul_precision="bfloat16")
 

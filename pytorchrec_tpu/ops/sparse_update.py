@@ -117,6 +117,114 @@ def sparse_lazy_adam(
     return table, m, v
 
 
+PACKED_COLS = {"adam": lambda e: 3 * e, "adagrad": lambda e: 2 * e,
+               "rowwise_adagrad": lambda e: e + 1}
+
+
+def packed_emb_dim(cols: int, optimizer: str) -> int:
+    """Inverse of PACKED_COLS: embedding width from a packed leaf's width."""
+    if optimizer == "adam":
+        assert cols % 3 == 0, cols
+        return cols // 3
+    if optimizer == "adagrad":
+        assert cols % 2 == 0, cols
+        return cols // 2
+    return cols - 1
+
+
+def pack_table(table: jnp.ndarray, optimizer: str) -> jnp.ndarray:
+    """[V, E] table -> [V, C] packed row: table columns followed by
+    zero-initialized optimizer moments (m||v / acc / row-acc)."""
+    v, e = table.shape
+    extra = PACKED_COLS[optimizer](e) - e
+    return jnp.concatenate([table, jnp.zeros((v, extra), table.dtype)], axis=1)
+
+
+def unpack_table(packed: jnp.ndarray, optimizer: str) -> jnp.ndarray:
+    """[V, C] packed row -> the [V, E] table columns."""
+    return packed[:, : packed_emb_dim(packed.shape[1], optimizer)]
+
+
+def packed_sparse_update(
+    packed: jnp.ndarray,   # [V, C] table||moments rows (see pack_table)
+    rows: jnp.ndarray,     # [n, C] the forward gather of packed at ids
+    ids: jnp.ndarray,      # [n] per-occurrence ids (duplicates allowed)
+    dvec: jnp.ndarray,     # [n, E] per-occurrence row grads
+    step: jnp.ndarray,     # global step (1-based, adam bias correction)
+    lr: float,
+    optimizer: str = "adam",
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Row-sparse update over a PACKED table+moments buffer — the
+    latency-optimal layout on TPU.
+
+    Cost model (v5e, measured — RESULTS.md correction section): row-granular
+    gather/scatter is LATENCY-bound (~29/~107 ns per row regardless of row
+    bytes), so the classic separate-buffer update (2 moment gathers + 3
+    scatters + a grad permute) pays ~6 per-row passes. Packing table and
+    moments into one [V, C] row makes it 3: the caller's forward gather
+    (which now carries the moments for free), ONE combined permute of
+    (grads || gathered rows), and ONE absolute-value scatter of the new
+    packed rows. Same lazy semantics as sparse_lazy_adam/sparse_adagrad/
+    sparse_rowwise_adagrad (untouched rows keep stale moments; adam bias
+    correction uses the global step).
+
+    ``rows`` MUST be ``stop_grad(packed)[ids]`` from the same step (the
+    pre-update values the optimizer math needs — re-gathering here would
+    waste a per-row pass).
+    """
+    n = ids.shape[0]
+    e = dvec.shape[1]
+    order = jnp.argsort(ids)
+    sorted_ids = ids[order]
+    # one permute moves grads and packed rows together ([n, E+C] rows cost
+    # the same latency as [n, E] rows)
+    moved = jnp.concatenate([dvec, rows], axis=1)[order]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    segment = jnp.cumsum(is_start) - 1
+    # grads sum per segment; the packed row is identical across a segment's
+    # occurrences (same source row), so first-occurrence masking + sum
+    # reduces everything in ONE segment pass
+    masked = jnp.concatenate(
+        [moved[:, :e], jnp.where(is_start[:, None], moved[:, e:], 0.0)], axis=1
+    )
+    red = jax.ops.segment_sum(masked, segment, num_segments=n)
+    seg_ids = jax.ops.segment_max(sorted_ids, segment, num_segments=n)
+    g = red[:, :e]
+    t_old = red[:, e:2 * e]
+
+    if optimizer == "adam":
+        m_old, v_old = red[:, 2 * e:3 * e], red[:, 3 * e:]
+        new_m = b1 * m_old + (1.0 - b1) * g
+        new_v = b2 * v_old + (1.0 - b2) * jnp.square(g)
+        s = step.astype(jnp.float32)
+        delta = lr * (new_m / (1.0 - b1 ** s)) / (
+            jnp.sqrt(new_v / (1.0 - b2 ** s)) + eps)
+        new_packed = jnp.concatenate([t_old - delta, new_m, new_v], axis=1)
+    elif optimizer == "adagrad":
+        acc_old = red[:, 2 * e:]
+        new_acc = acc_old + jnp.square(g)
+        delta = lr * g / (jnp.sqrt(new_acc) + 1e-10)
+        new_packed = jnp.concatenate([t_old - delta, new_acc], axis=1)
+    else:  # rowwise_adagrad
+        acc_old = red[:, 2 * e]
+        new_acc = acc_old + jnp.mean(jnp.square(g), axis=-1)
+        delta = lr * g / (jnp.sqrt(new_acc)[:, None] + eps)
+        new_packed = jnp.concatenate(
+            [t_old - delta, new_acc[:, None]], axis=1)
+
+    n_unique = segment[-1] + 1
+    slot = jnp.arange(n)
+    safe_ids = jnp.where(slot < n_unique, seg_ids,
+                         packed.shape[0] + slot).astype(jnp.int32)
+    return packed.at[safe_ids].set(
+        new_packed, mode="drop", indices_are_sorted=True, unique_indices=True)
+
+
 def sparse_rowwise_adagrad(
     table: jnp.ndarray,  # [V, E]
     accum: jnp.ndarray,  # [V] — ONE scalar second-moment per row

@@ -31,9 +31,13 @@ import numpy as np
 from flax import traverse_util
 
 from pytorchrec_tpu.ops.sparse_update import (
+    pack_table,
+    packed_emb_dim,
+    packed_sparse_update,
     sparse_adagrad,
     sparse_lazy_adam,
     sparse_rowwise_adagrad,
+    unpack_table,
 )
 from pytorchrec_tpu.training.state import TrainState
 from pytorchrec_tpu.training.trainer import Trainer
@@ -69,7 +73,7 @@ class SparseEmbeddingTrainer(Trainer):
     """Trainer with row-sparse table updates (lazy Adam or Adagrad)."""
 
     def __init__(self, model, mesh=None, table_optimizer: str = "adam",
-                 rows_injection: bool = None):
+                 rows_injection: bool = None, packed_tables: bool = False):
         assert hasattr(model, "sparse_table_ids"), (
             f"{type(model).__name__} does not implement sparse_table_ids()"
         )
@@ -85,6 +89,18 @@ class SparseEmbeddingTrainer(Trainer):
         # None = auto-resolve at init_state (every declared table must be
         # injectable, else fall back to the patch path).
         self.rows_injection = rows_injection
+        # packed tables (ops/sparse_update.py::packed_sparse_update): each
+        # table leaf becomes [V, C] = table||moments rows, cutting the
+        # latency-bound per-row passes of the update from ~6 to 3 (the
+        # forward gather carries the moments for free). Requires the
+        # rows-injection protocol for train AND eval (the model never
+        # gathers from the packed leaf itself).
+        if packed_tables:
+            assert rows_injection is not False, (
+                "packed_tables requires the rows-injection path"
+            )
+            self.rows_injection = True if rows_injection is None else rows_injection
+        self.packed_tables = packed_tables
         self._table_lr = None
 
     def compile(self, *args, lr: float = 1e-3, **kwargs):
@@ -131,6 +147,31 @@ class SparseEmbeddingTrainer(Trainer):
 
         self._dense_tx = optax.masked(self.tx, mask_tree())
 
+        if self.packed_tables:
+            if hasattr(self.model, "sharded_table_specs"):
+                spec_paths = {
+                    s["path"]
+                    for s in self.model.sharded_table_specs(sample_batch).values()
+                }
+            else:
+                spec_paths = set()
+            assert table_paths <= spec_paths and self.rows_injection, (
+                "packed_tables needs every table injectable via "
+                "sharded_table_specs (train AND eval gather externally)"
+            )
+            flat2 = dict(flat)
+            for path in table_paths:
+                flat2[path] = pack_table(flat[path], self.table_optimizer)
+            params = _unflatten(flat2)
+            moments = {path: {} for path in table_paths}
+            return SparseTrainState(
+                params=params,
+                opt_state=self._dense_tx.init(params),
+                step=jnp.zeros((), jnp.int32),
+                rng=state_rng,
+                table_moments=moments,
+            )
+
         if self.table_optimizer == "adam":
             moments = {
                 path: {"m": jnp.zeros_like(flat[path]), "v": jnp.zeros_like(flat[path])}
@@ -155,6 +196,8 @@ class SparseEmbeddingTrainer(Trainer):
         )
 
     def _build_train_step(self):
+        if self.packed_tables:
+            return self._build_packed_train_step()
         model, loss_fn = self.model, self.loss_fn
         table_optimizer, table_lr = self.table_optimizer, self._table_lr
         dense_tx = self._dense_tx
@@ -245,3 +288,122 @@ class SparseEmbeddingTrainer(Trainer):
             return new_state, loss
 
         return train_step  # pure; jitted by _get_train_step_fn / scan fusion
+
+    def _build_packed_train_step(self):
+        """Latency-optimal step over packed [V, C] table||moments leaves:
+        3 per-row passes total (forward gather of packed rows, one combined
+        permute inside packed_sparse_update, one scatter) instead of the
+        classic ~6 — row ops are latency-bound on TPU (~29/107 ns/row
+        regardless of row bytes; RESULTS.md correction section)."""
+        model, loss_fn = self.model, self.loss_fn
+        table_optimizer, table_lr = self.table_optimizer, self._table_lr
+        dense_tx = self._dense_tx
+        table_paths = self._table_paths
+
+        def train_step(state: SparseTrainState, batch):
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            flat_params = _flatten(state.params)
+            specs = {
+                spec["path"]: spec
+                for spec in model.sharded_table_specs(batch).values()
+                if spec["path"] in table_paths
+            }
+            ids_map, packed_rows, emb_dims = {}, {}, {}
+            for path, spec in specs.items():
+                ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+                ids_map[path] = ids
+                leaf = jax.lax.stop_gradient(flat_params[path])
+                emb_dims[path] = packed_emb_dim(leaf.shape[1], table_optimizer)
+                # ONE gather serves the model (":E" slice) AND the update
+                # (the packed moments ride along at no extra latency)
+                packed_rows[path] = leaf[ids]
+
+            rows_in = {p: r[:, :emb_dims[p]] for p, r in packed_rows.items()}
+
+            def compute_loss(params, rows):
+                patched_batch = dict(batch)
+                for path, spec in specs.items():
+                    patched_batch[spec["rows_key"]] = rows[path]
+                prediction, target = model.apply(
+                    {"params": params}, patched_batch, train=True,
+                    rngs={"dropout": step_rng},
+                )
+                return loss_fn(prediction, target)
+
+            loss, (dense_grads, row_grads) = jax.value_and_grad(
+                compute_loss, argnums=(0, 1)
+            )(state.params, rows_in)
+
+            updates, opt_state = dense_tx.update(
+                dense_grads, state.opt_state, state.params
+            )
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+
+            step = state.step + 1
+            flat = dict(_flatten(params))
+            for path, ids in ids_map.items():
+                flat[path] = packed_sparse_update(
+                    flat[path], packed_rows[path], ids, row_grads[path],
+                    step, lr=table_lr, optimizer=table_optimizer,
+                )
+
+            new_state = state.replace(
+                params=_unflatten(flat), opt_state=opt_state, step=step,
+                table_moments=state.table_moments,
+            )
+            return new_state, loss
+
+        return train_step
+
+    def _build_eval_step(self):
+        """Packed leaves can't be gathered by the model itself — eval
+        injects the ':E' slice of the packed rows through the same
+        rows-injection keys the train step uses."""
+        if not self.packed_tables:
+            return super()._build_eval_step()
+        model = self.model
+        table_paths = self._table_paths
+        table_optimizer = self.table_optimizer
+
+        def eval_step(params, batch):
+            flat = _flatten(params)
+            patched = dict(batch)
+            for name, spec in model.sharded_table_specs(batch).items():
+                path = spec["path"]
+                if path not in table_paths:
+                    continue
+                ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+                e = packed_emb_dim(flat[path].shape[1], table_optimizer)
+                patched[spec["rows_key"]] = flat[path][ids][:, :e]
+            return model.apply({"params": params}, patched, train=False)
+
+        return self._jit_eval_step(eval_step)
+
+    def unpacked_params(self):
+        """Host copy of ``state.params`` with every packed table leaf
+        restored to its plain [V, E] columns — for export/serving and
+        cross-trainer checkpoint interop."""
+        params = jax.device_get(self.state.params)
+        if not self.packed_tables:
+            return params
+        flat = dict(_flatten(params))
+        for path in self._table_paths:
+            flat[path] = unpack_table(flat[path], self.table_optimizer)
+        return _unflatten(flat)
+
+    def make_serving_fn(self):
+        """Serving scores from the UNPACKED tables when packed leaves are in
+        play — the exported artifact is a plain [V, E] gather model."""
+        if not self.packed_tables:
+            return super().make_serving_fn()
+        self._assert_compiled()
+        assert self.state is not None, "init_state()/fit() first"
+        model, params = self.model, self.unpacked_params()
+
+        @jax.jit
+        def serve(batch):
+            prediction, _ = model.apply({"params": params}, batch, train=False)
+            return prediction
+
+        return serve

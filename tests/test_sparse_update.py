@@ -387,6 +387,79 @@ def test_rows_injection_matches_patch_path(dataset_dir):
                                    rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("table_optimizer", ["adam", "adagrad",
+                                             "rowwise_adagrad"])
+def test_packed_tables_match_unpacked(dataset_dir, table_optimizer):
+    """Packed [V, C] table||moments leaves (3 latency-bound row passes per
+    step instead of ~6) are numerically equivalent to the classic
+    separate-buffer path: same unpacked params, moments, and eval metrics
+    after 2 epochs of unified-FM training. Also covers the packed eval
+    injection and serving unpack."""
+    from pytorchrec_tpu.ops.sparse_update import unpack_table
+    from pytorchrec_tpu.tasks import build_model
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+
+    def run(packed):
+        reader = _reader()
+        model = build_model("fm", reader, emb_size=8, unified_embedding=True)
+        t = SparseEmbeddingTrainer(model, table_optimizer=table_optimizer,
+                                   packed_tables=packed)
+        t.compile(optimizer="adam", lr=0.05, loss="bce", metrics=("hit@5",),
+                  user_sample_n=10)
+        t.fit(reader, batch_size=32, epochs=2, verbose=0, eval_dev=False,
+              seed=11)
+        metrics = t.evaluate(reader, split="dev", batch_size=32)
+        return t, reader, metrics
+
+    plain, _, m_plain = run(False)
+    pk, reader, m_pk = run(True)
+
+    flat_plain = {"/".join(str(getattr(k, "key", k)) for k in path): leaf
+                  for path, leaf in
+                  jax.tree_util.tree_flatten_with_path(plain.state.params)[0]}
+    flat_pk = {"/".join(str(getattr(k, "key", k)) for k in path): leaf
+               for path, leaf in
+               jax.tree_util.tree_flatten_with_path(pk.state.params)[0]}
+    for path in flat_plain:
+        a = np.asarray(flat_plain[path])
+        b = np.asarray(flat_pk[path])
+        if path in pk._table_paths:
+            packed_leaf = flat_pk[path]
+            b = np.asarray(unpack_table(packed_leaf, table_optimizer))
+            # moments stored in the packed columns match the classic ones
+            mom = plain.state.table_moments[path]
+            e = a.shape[1]
+            if table_optimizer == "adam":
+                np.testing.assert_allclose(
+                    np.asarray(packed_leaf)[:, e:2 * e], np.asarray(mom["m"]),
+                    rtol=1e-3, atol=1e-7)
+                np.testing.assert_allclose(
+                    np.asarray(packed_leaf)[:, 2 * e:], np.asarray(mom["v"]),
+                    rtol=1e-3, atol=1e-7)
+            elif table_optimizer == "adagrad":
+                np.testing.assert_allclose(
+                    np.asarray(packed_leaf)[:, e:], np.asarray(mom["acc"]),
+                    rtol=1e-5, atol=1e-7)
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(packed_leaf)[:, e], np.asarray(mom["acc"]),
+                    rtol=1e-5, atol=1e-7)
+        # adam's sqrt/div amplifies float reassociation between the two
+        # step graphs over epochs (same class as test_sharded_trainer's
+        # _tree_allclose tolerance; observed max ~2e-4 relative)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-7, err_msg=path)
+
+    for key in m_plain:
+        assert float(m_plain[key]) == pytest.approx(float(m_pk[key]),
+                                                    abs=1e-6)
+
+    # serving unpacks transparently
+    batch = reader.get_batch("train", np.arange(4))
+    s_plain = np.asarray(plain.make_serving_fn()(batch))
+    s_pk = np.asarray(pk.make_serving_fn()(batch))
+    np.testing.assert_allclose(s_plain, s_pk, rtol=1e-5, atol=1e-6)
+
+
 def test_rows_injection_auto_resolution(dataset_dir):
     """Auto mode: on for unified CTR (all tables injectable), off for the
     per-field layout (sharded_table_specs asserts)."""
