@@ -120,34 +120,59 @@ def sparse_lazy_adam(
 PACKED_COLS = {"adam": lambda e: 3 * e, "adagrad": lambda e: 2 * e,
                "rowwise_adagrad": lambda e: e + 1}
 
+# Fast-path width rule, measured on the v5e (2026-08-17, fetch-forced slope
+# over 852k rows of a [2.6M, W] table): XLA's row gather/scatter switches to
+# a vectorized emitter at W >= 64 f32 columns (256 B rows) — scatter-set
+# drops 92.7 -> 13.7 ms (W 16 -> 64) and 6.7 ms at W=128; gather 17.7 ->
+# 11.6/8.5 ms. Below 64 every row op pays the ~100 ns/row serialized path.
+_FAST_WIDTH = 64
 
-def packed_emb_dim(cols: int, optimizer: str) -> int:
-    """Inverse of PACKED_COLS: embedding width from a packed leaf's width."""
-    if optimizer == "adam":
-        assert cols % 3 == 0, cols
-        return cols // 3
-    if optimizer == "adagrad":
-        assert cols % 2 == 0, cols
-        return cols // 2
-    return cols - 1
+
+def packed_width(emb_dim: int, optimizer: str) -> int:
+    """Total packed row width: moments columns plus >= emb_dim padding
+    columns (the padding stages the per-occurrence grads through the
+    permute), rounded up to the vectorized-emitter multiple."""
+    need = PACKED_COLS[optimizer](emb_dim) + emb_dim
+    return max(_FAST_WIDTH, -(-need // _FAST_WIDTH) * _FAST_WIDTH)
 
 
 def pack_table(table: jnp.ndarray, optimizer: str) -> jnp.ndarray:
-    """[V, E] table -> [V, C] packed row: table columns followed by
-    zero-initialized optimizer moments (m||v / acc / row-acc)."""
+    """[V, E] table -> [V, W] packed row: table columns, zero-initialized
+    optimizer moments (m||v / acc / row-acc), grad-staging padding."""
     v, e = table.shape
-    extra = PACKED_COLS[optimizer](e) - e
+    extra = packed_width(e, optimizer) - e
     return jnp.concatenate([table, jnp.zeros((v, extra), table.dtype)], axis=1)
 
 
-def unpack_table(packed: jnp.ndarray, optimizer: str) -> jnp.ndarray:
-    """[V, C] packed row -> the [V, E] table columns."""
-    return packed[:, : packed_emb_dim(packed.shape[1], optimizer)]
+def unpack_table(packed: jnp.ndarray, emb_dim: int) -> jnp.ndarray:
+    """[V, W] packed row -> the [V, emb_dim] table columns."""
+    return packed[:, :emb_dim]
+
+
+def _segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
+    """Segmented inclusive sum scan (Hillis-Steele): ``x [n, E]`` rows in
+    segment-sorted order, ``is_start [n]`` marking segment heads. Returns
+    per-position running sums — each segment's LAST slot holds its total.
+
+    Pure shift/where/add passes (ceil(log2 n) of them), so it streams at
+    HBM rate instead of taking the serialized non-unique scatter-add that
+    ``jax.ops.segment_sum`` lowers to (~10x slower at this size)."""
+    n = x.shape[0]
+    done = is_start
+    d = 1
+    while d < n:
+        shifted_x = jnp.concatenate([jnp.zeros((d, x.shape[1]), x.dtype),
+                                     x[:-d]], axis=0)
+        shifted_done = jnp.concatenate([jnp.ones((d,), bool), done[:-d]])
+        x = x + jnp.where(done[:, None], 0.0, shifted_x)
+        done = done | shifted_done
+        d *= 2
+    return x
 
 
 def packed_sparse_update(
-    packed: jnp.ndarray,   # [V, C] table||moments rows (see pack_table)
-    rows: jnp.ndarray,     # [n, C] the forward gather of packed at ids
+    packed: jnp.ndarray,   # [V, W] table||moments||staging rows (pack_table)
+    rows: jnp.ndarray,     # [n, W] the forward gather of packed at ids
     ids: jnp.ndarray,      # [n] per-occurrence ids (duplicates allowed)
     dvec: jnp.ndarray,     # [n, E] per-occurrence row grads
     step: jnp.ndarray,     # global step (1-based, adam bias correction)
@@ -160,14 +185,21 @@ def packed_sparse_update(
     """Row-sparse update over a PACKED table+moments buffer — the
     latency-optimal layout on TPU.
 
-    Cost model (v5e, measured — RESULTS.md correction section): row-granular
-    gather/scatter is LATENCY-bound (~29/~107 ns per row regardless of row
-    bytes), so the classic separate-buffer update (2 moment gathers + 3
-    scatters + a grad permute) pays ~6 per-row passes. Packing table and
-    moments into one [V, C] row makes it 3: the caller's forward gather
-    (which now carries the moments for free), ONE combined permute of
-    (grads || gathered rows), and ONE absolute-value scatter of the new
-    packed rows. Same lazy semantics as sparse_lazy_adam/sparse_adagrad/
+    Cost model (v5e, measured — RESULTS.md correction section): below 64
+    f32 columns XLA's row gather/scatter takes a serialized ~100 ns/row
+    path, and non-unique scatter-add (what segment_sum lowers to) is slow
+    at EVERY width. This update therefore uses exactly 2 fast-width row
+    passes beyond the caller's forward gather:
+
+    1. ONE permute of the gathered [n, W] rows into id-sorted order — the
+       per-occurrence grads are first staged into the packed row's padding
+       columns, so grads, table and moments all move together;
+    2. duplicate grads combined by a segmented Hillis-Steele scan (pure
+       elementwise shift/add passes at HBM rate — no scatter);
+    3. ONE absolute-value scatter-set of the new packed rows from each
+       segment's last slot (sorted, unique, fast width).
+
+    Same lazy semantics as sparse_lazy_adam/sparse_adagrad/
     sparse_rowwise_adagrad (untouched rows keep stale moments; adam bias
     correction uses the global step).
 
@@ -177,28 +209,32 @@ def packed_sparse_update(
     """
     n = ids.shape[0]
     e = dvec.shape[1]
+    w = packed.shape[1]
+    c = PACKED_COLS[optimizer](e)
+    assert w >= c + e, (w, c, e)
+
     order = jnp.argsort(ids)
     sorted_ids = ids[order]
-    # one permute moves grads and packed rows together ([n, E+C] rows cost
-    # the same latency as [n, E] rows)
-    moved = jnp.concatenate([dvec, rows], axis=1)[order]
+    # stage grads in the padding columns -> ONE fast-width permute moves
+    # grads, table and moments together
+    staged = jnp.concatenate(
+        [rows[:, :c], dvec,
+         jnp.zeros((n, w - c - e), rows.dtype)], axis=1)
+    moved = staged[order]
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
     )
-    segment = jnp.cumsum(is_start) - 1
-    # grads sum per segment; the packed row is identical across a segment's
-    # occurrences (same source row), so first-occurrence masking + sum
-    # reduces everything in ONE segment pass
-    masked = jnp.concatenate(
-        [moved[:, :e], jnp.where(is_start[:, None], moved[:, e:], 0.0)], axis=1
+    is_last = jnp.concatenate(
+        [sorted_ids[1:] != sorted_ids[:-1], jnp.ones((1,), bool)]
     )
-    red = jax.ops.segment_sum(masked, segment, num_segments=n)
-    seg_ids = jax.ops.segment_max(sorted_ids, segment, num_segments=n)
-    g = red[:, :e]
-    t_old = red[:, e:2 * e]
+    # duplicate grads sum via the segmented scan; each segment's LAST slot
+    # holds the total. t/m/v are identical across a segment (same source
+    # row), so the last slot already carries them — no reduction needed.
+    g = _segmented_sum_scan(moved[:, c:c + e], is_start)
+    t_old = moved[:, :e]
 
     if optimizer == "adam":
-        m_old, v_old = red[:, 2 * e:3 * e], red[:, 3 * e:]
+        m_old, v_old = moved[:, e:2 * e], moved[:, 2 * e:3 * e]
         new_m = b1 * m_old + (1.0 - b1) * g
         new_v = b2 * v_old + (1.0 - b2) * jnp.square(g)
         s = step.astype(jnp.float32)
@@ -206,23 +242,25 @@ def packed_sparse_update(
             jnp.sqrt(new_v / (1.0 - b2 ** s)) + eps)
         new_packed = jnp.concatenate([t_old - delta, new_m, new_v], axis=1)
     elif optimizer == "adagrad":
-        acc_old = red[:, 2 * e:]
+        acc_old = moved[:, e:2 * e]
         new_acc = acc_old + jnp.square(g)
         delta = lr * g / (jnp.sqrt(new_acc) + 1e-10)
         new_packed = jnp.concatenate([t_old - delta, new_acc], axis=1)
     else:  # rowwise_adagrad
-        acc_old = red[:, 2 * e]
+        acc_old = moved[:, e]
         new_acc = acc_old + jnp.mean(jnp.square(g), axis=-1)
         delta = lr * g / (jnp.sqrt(new_acc)[:, None] + eps)
         new_packed = jnp.concatenate(
             [t_old - delta, new_acc[:, None]], axis=1)
 
-    n_unique = segment[-1] + 1
+    pad = jnp.zeros((n, w - new_packed.shape[1]), packed.dtype)
+    new_packed = jnp.concatenate([new_packed, pad], axis=1)
+    # scatter only each segment's last slot; the rest route out of range
     slot = jnp.arange(n)
-    safe_ids = jnp.where(slot < n_unique, seg_ids,
+    safe_ids = jnp.where(is_last, sorted_ids,
                          packed.shape[0] + slot).astype(jnp.int32)
     return packed.at[safe_ids].set(
-        new_packed, mode="drop", indices_are_sorted=True, unique_indices=True)
+        new_packed, mode="drop", unique_indices=True)
 
 
 def sparse_rowwise_adagrad(

@@ -32,7 +32,6 @@ from flax import traverse_util
 
 from pytorchrec_tpu.ops.sparse_update import (
     pack_table,
-    packed_emb_dim,
     packed_sparse_update,
     sparse_adagrad,
     sparse_lazy_adam,
@@ -160,6 +159,9 @@ class SparseEmbeddingTrainer(Trainer):
                 "sharded_table_specs (train AND eval gather externally)"
             )
             flat2 = dict(flat)
+            # the packed width is padded to the fast-row multiple, so the
+            # embedding width can't be derived back from the leaf — keep it
+            self._table_emb_dims = {p: flat[p].shape[1] for p in table_paths}
             for path in table_paths:
                 flat2[path] = pack_table(flat[path], self.table_optimizer)
             params = _unflatten(flat2)
@@ -308,14 +310,14 @@ class SparseEmbeddingTrainer(Trainer):
                 for spec in model.sharded_table_specs(batch).values()
                 if spec["path"] in table_paths
             }
-            ids_map, packed_rows, emb_dims = {}, {}, {}
+            emb_dims = self._table_emb_dims
+            ids_map, packed_rows = {}, {}
             for path, spec in specs.items():
                 ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
                 ids_map[path] = ids
                 leaf = jax.lax.stop_gradient(flat_params[path])
-                emb_dims[path] = packed_emb_dim(leaf.shape[1], table_optimizer)
                 # ONE gather serves the model (":E" slice) AND the update
-                # (the packed moments ride along at no extra latency)
+                # (the packed moments ride along in the fast-width row)
                 packed_rows[path] = leaf[ids]
 
             rows_in = {p: r[:, :emb_dims[p]] for p, r in packed_rows.items()}
@@ -364,7 +366,7 @@ class SparseEmbeddingTrainer(Trainer):
             return super()._build_eval_step()
         model = self.model
         table_paths = self._table_paths
-        table_optimizer = self.table_optimizer
+        emb_dims = self._table_emb_dims
 
         def eval_step(params, batch):
             flat = _flatten(params)
@@ -374,8 +376,7 @@ class SparseEmbeddingTrainer(Trainer):
                 if path not in table_paths:
                     continue
                 ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
-                e = packed_emb_dim(flat[path].shape[1], table_optimizer)
-                patched[spec["rows_key"]] = flat[path][ids][:, :e]
+                patched[spec["rows_key"]] = flat[path][ids][:, :emb_dims[path]]
             return model.apply({"params": params}, patched, train=False)
 
         return self._jit_eval_step(eval_step)
@@ -389,7 +390,7 @@ class SparseEmbeddingTrainer(Trainer):
             return params
         flat = dict(_flatten(params))
         for path in self._table_paths:
-            flat[path] = unpack_table(flat[path], self.table_optimizer)
+            flat[path] = unpack_table(flat[path], self._table_emb_dims[path])
         return _unflatten(flat)
 
     def make_serving_fn(self):
