@@ -149,25 +149,53 @@ def unpack_table(packed: jnp.ndarray, emb_dim: int) -> jnp.ndarray:
     return packed[:, :emb_dim]
 
 
-def _segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
-    """Segmented inclusive sum scan (Hillis-Steele): ``x [n, E]`` rows in
-    segment-sorted order, ``is_start [n]`` marking segment heads. Returns
-    per-position running sums — each segment's LAST slot holds its total.
-
-    Pure shift/where/add passes (ceil(log2 n) of them), so it streams at
-    HBM rate instead of taking the serialized non-unique scatter-add that
-    ``jax.ops.segment_sum`` lowers to (~10x slower at this size)."""
-    n = x.shape[0]
-    done = is_start
-    d = 1
-    while d < n:
+def _scan_passes(x, done, start_d, end_d):
+    d = start_d
+    while d < end_d:
         shifted_x = jnp.concatenate([jnp.zeros((d, x.shape[1]), x.dtype),
                                      x[:-d]], axis=0)
         shifted_done = jnp.concatenate([jnp.ones((d,), bool), done[:-d]])
         x = x + jnp.where(done[:, None], 0.0, shifted_x)
         done = done | shifted_done
         d *= 2
-    return x
+    return x, done
+
+
+_EAGER_DEPTH = 16  # segments up to this length covered by the eager passes
+
+
+def _segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
+    """Segmented inclusive sum scan (Hillis-Steele): ``x [n, E]`` rows in
+    segment-sorted order, ``is_start [n]`` marking segment heads. Returns
+    per-position running sums — each segment's LAST slot holds its total.
+
+    Pure shift/where/add passes, so it avoids the serialized non-unique
+    scatter-add that ``jax.ops.segment_sum`` lowers to. Each pass still
+    costs ~1.9 ms at n=852k on the v5e (the shifted loop fusion runs at
+    ~5% of stream rate), so depth is ADAPTIVE: segments are duplicate runs
+    of one id, which on hashed/uniform id streams are short (max ~8 at the
+    bench shapes) — the first log2(_EAGER_DEPTH) passes run eagerly and the
+    remaining passes sit behind a ``lax.cond`` on the actual max run
+    length, firing only for skewed batches (where they're needed for
+    exactness)."""
+    n = x.shape[0]
+    if n <= 2 * _EAGER_DEPTH:
+        x, _ = _scan_passes(x, is_start, 1, n)
+        return x
+
+    x, done = _scan_passes(x, is_start, 1, _EAGER_DEPTH)
+    if n <= _EAGER_DEPTH:
+        return x
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    start_pos = jax.lax.cummax(jnp.where(is_start, pos, -1))
+    max_run = jnp.max(pos - start_pos) + 1
+
+    def tail(args):
+        return _scan_passes(args[0], args[1], _EAGER_DEPTH, n)[0]
+
+    return jax.lax.cond(max_run > _EAGER_DEPTH, tail, lambda args: args[0],
+                        (x, done))
 
 
 def packed_sparse_update(
@@ -220,7 +248,10 @@ def packed_sparse_update(
     staged = jnp.concatenate(
         [rows[:, :c], dvec,
          jnp.zeros((n, w - c - e), rows.dtype)], axis=1)
-    moved = staged[order]
+    # barrier: pin the permute result. Without it XLA rematerializes the
+    # [n, W] gather into every iteration of the segmented scan below
+    # (measured: the scan stage jumps 2.5 -> 66 ms in composition).
+    moved = jax.lax.optimization_barrier(staged[order])
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
     )

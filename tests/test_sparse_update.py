@@ -102,6 +102,50 @@ def test_sparse_rowwise_adagrad_matches_manual():
                                   np.asarray(table)[mask])
 
 
+def test_packed_update_matches_lazy_adam_with_long_runs():
+    """packed_sparse_update == sparse_lazy_adam on the unpacked view, with
+    duplicate runs LONGER than the scan's eager depth (exercises the
+    lax.cond tail passes) and with short runs (eager-only path)."""
+    from pytorchrec_tpu.ops.sparse_update import (
+        pack_table,
+        packed_sparse_update,
+        unpack_table,
+    )
+
+    rng = np.random.default_rng(3)
+    V, E = 300, 4
+    table = jnp.asarray(rng.normal(size=(V, E)), jnp.float32)
+    m = jnp.asarray(rng.normal(size=(V, E)) * 0.1, jnp.float32)
+    v = jnp.asarray(np.abs(rng.normal(size=(V, E))) * 0.1, jnp.float32)
+    step = jnp.asarray(5, jnp.int32)
+
+    for ids_np in (
+        np.concatenate([np.full(100, 7), np.full(40, 13),
+                        rng.integers(0, V, size=60)]),  # long runs
+        rng.integers(0, V, size=64),                    # short runs
+    ):
+        ids = jnp.asarray(ids_np.astype(np.int32))
+        n = ids.shape[0]
+        dvec = jnp.asarray(rng.normal(size=(n, E)), jnp.float32)
+
+        ref_t, ref_m, ref_v = sparse_lazy_adam(table, m, v, ids, dvec, step,
+                                               lr=0.01)
+
+        packed = pack_table(table, "adam")
+        w = packed.shape[1]
+        packed = packed.at[:, E:2 * E].set(m).at[:, 2 * E:3 * E].set(v)
+        rows = packed[ids]
+        out = packed_sparse_update(packed, rows, ids, dvec, step, lr=0.01)
+
+        np.testing.assert_allclose(np.asarray(unpack_table(out, E)),
+                                   np.asarray(ref_t), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out[:, E:2 * E]),
+                                   np.asarray(ref_m), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out[:, 2 * E:3 * E]),
+                                   np.asarray(ref_v), rtol=1e-5, atol=1e-6)
+        assert out.shape[1] == w
+
+
 @pytest.fixture(scope="module")
 def dataset_dir(tmp_path_factory):
     from pytorchrec_tpu.data.process.datasets.synthetic import generate_synthetic_ml
