@@ -248,10 +248,7 @@ def packed_sparse_update(
     staged = jnp.concatenate(
         [rows[:, :c], dvec,
          jnp.zeros((n, w - c - e), rows.dtype)], axis=1)
-    # barrier: pin the permute result. Without it XLA rematerializes the
-    # [n, W] gather into every iteration of the segmented scan below
-    # (measured: the scan stage jumps 2.5 -> 66 ms in composition).
-    moved = jax.lax.optimization_barrier(staged[order])
+    moved = staged[order]
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
     )
