@@ -241,8 +241,11 @@ def packed_sparse_update(
     c = PACKED_COLS[optimizer](e)
     assert w >= c + e, (w, c, e)
 
-    order = jnp.argsort(ids)
-    sorted_ids = ids[order]
+    # variadic sort returns the sorted keys alongside the permutation —
+    # a separate sorted_ids = ids[order] would be a narrow 1-D gather that
+    # serializes (~6 ms at n=852k, measured)
+    sorted_ids, order = jax.lax.sort(
+        (ids, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
     # stage grads in the padding columns -> ONE fast-width permute moves
     # grads, table and moments together
     staged = jnp.concatenate(
