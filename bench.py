@@ -82,6 +82,10 @@ def bench_tpu() -> list:
     # leaves — row ops on this hardware are latency-bound (~29/107 ns/row
     # regardless of row bytes), so packing cuts the update's per-row passes
     # from ~6 to 3 (ops/sparse_update.py::packed_sparse_update)
+    # packed_min_width=64 measured best end-to-end: 128-wide rows make the
+    # isolated scatter faster (6.7 vs 13.7 ms) but the extra 2x bytes
+    # through the forward gather + update permute cost more than that
+    # (measured 60.0 vs 45.8 ms/step)
     trainer = SparseEmbeddingTrainer(model, packed_tables=True)
     trainer.compile(optimizer="adam", lr=1e-3, loss="bce", metrics=("auc",),
                     matmul_precision="bfloat16")

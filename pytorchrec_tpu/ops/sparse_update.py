@@ -128,19 +128,26 @@ PACKED_COLS = {"adam": lambda e: 3 * e, "adagrad": lambda e: 2 * e,
 _FAST_WIDTH = 64
 
 
-def packed_width(emb_dim: int, optimizer: str) -> int:
+def packed_width(emb_dim: int, optimizer: str,
+                 min_width: int = _FAST_WIDTH) -> int:
     """Total packed row width: moments columns plus >= emb_dim padding
     columns (the padding stages the per-occurrence grads through the
-    permute), rounded up to the vectorized-emitter multiple."""
+    permute), rounded up to the vectorized-emitter multiple.
+
+    ``min_width``: 64 = the fast-path threshold; 128 (a full 512-byte
+    vector row) is ~1.5x faster still on scatters (6.7 vs 13.7 ms at
+    852k rows) at the cost of proportionally more table HBM."""
+    assert min_width % _FAST_WIDTH == 0, min_width
     need = PACKED_COLS[optimizer](emb_dim) + emb_dim
-    return max(_FAST_WIDTH, -(-need // _FAST_WIDTH) * _FAST_WIDTH)
+    return max(min_width, -(-need // _FAST_WIDTH) * _FAST_WIDTH)
 
 
-def pack_table(table: jnp.ndarray, optimizer: str) -> jnp.ndarray:
+def pack_table(table: jnp.ndarray, optimizer: str,
+               min_width: int = _FAST_WIDTH) -> jnp.ndarray:
     """[V, E] table -> [V, W] packed row: table columns, zero-initialized
     optimizer moments (m||v / acc / row-acc), grad-staging padding."""
     v, e = table.shape
-    extra = packed_width(e, optimizer) - e
+    extra = packed_width(e, optimizer, min_width) - e
     return jnp.concatenate([table, jnp.zeros((v, extra), table.dtype)], axis=1)
 
 

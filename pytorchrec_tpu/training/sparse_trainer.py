@@ -72,7 +72,8 @@ class SparseEmbeddingTrainer(Trainer):
     """Trainer with row-sparse table updates (lazy Adam or Adagrad)."""
 
     def __init__(self, model, mesh=None, table_optimizer: str = "adam",
-                 rows_injection: bool = None, packed_tables: bool = False):
+                 rows_injection: bool = None, packed_tables: bool = False,
+                 packed_min_width: int = 64):
         assert hasattr(model, "sparse_table_ids"), (
             f"{type(model).__name__} does not implement sparse_table_ids()"
         )
@@ -100,6 +101,9 @@ class SparseEmbeddingTrainer(Trainer):
             )
             self.rows_injection = True if rows_injection is None else rows_injection
         self.packed_tables = packed_tables
+        # 64 = the vectorized-emitter threshold; 128 trades ~2x table HBM
+        # for ~1.5x faster scatters (full 512-byte vector rows)
+        self.packed_min_width = packed_min_width
         self._table_lr = None
 
     def compile(self, *args, lr: float = 1e-3, **kwargs):
@@ -163,7 +167,8 @@ class SparseEmbeddingTrainer(Trainer):
             # embedding width can't be derived back from the leaf — keep it
             self._table_emb_dims = {p: flat[p].shape[1] for p in table_paths}
             for path in table_paths:
-                flat2[path] = pack_table(flat[path], self.table_optimizer)
+                flat2[path] = pack_table(flat[path], self.table_optimizer,
+                                         self.packed_min_width)
             params = _unflatten(flat2)
             moments = {path: {} for path in table_paths}
             return SparseTrainState(
