@@ -191,18 +191,36 @@ def _segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
         return x
 
     x, done = _scan_passes(x, is_start, 1, _EAGER_DEPTH)
-    if n <= _EAGER_DEPTH:
-        return x
 
-    pos = jnp.arange(n, dtype=jnp.int32)
-    start_pos = jax.lax.cummax(jnp.where(is_start, pos, -1))
-    max_run = jnp.max(pos - start_pos) + 1
-
+    # done[i] == "a segment head lies within the last _EAGER_DEPTH slots",
+    # so all(done) <=> every duplicate run fit the eager passes — no extra
+    # max-run computation needed
     def tail(args):
         return _scan_passes(args[0], args[1], _EAGER_DEPTH, n)[0]
 
-    return jax.lax.cond(max_run > _EAGER_DEPTH, tail, lambda args: args[0],
-                        (x, done))
+    return jax.lax.cond(jnp.all(done), lambda args: args[0], tail, (x, done))
+
+
+def segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
+    """Dispatcher. The Pallas single-HBM-pass kernel
+    (ops/kernels/seg_scan.py) is OPT-IN via PYTORCHREC_TPU_SEG_SCAN_PALLAS=1:
+    isolated it beats the XLA shift passes (1.47 ms vs the ~7.6 ms in-step
+    attribution at n=852k, v5e), but IN the packed train step the
+    custom-call is a fusion barrier — XLA can no longer fuse the scan's
+    shift/adds into the surrounding permute/optimizer elementwise chain and
+    the step LOSES 8.5 ms end-to-end (763.3k -> 603.7k ex/s, measured
+    same-window 2026-08-18). Kept for larger-E configs where the scan's HBM
+    traffic (not fusion) dominates."""
+    import os
+
+    from pytorchrec_tpu.ops.kernels import use_pallas_default
+
+    if (os.environ.get("PYTORCHREC_TPU_SEG_SCAN_PALLAS")
+            and use_pallas_default() and x.shape[0] >= 512):
+        from pytorchrec_tpu.ops.kernels.seg_scan import segmented_sum_scan_pallas
+
+        return segmented_sum_scan_pallas(x, is_start)
+    return _segmented_sum_scan(x, is_start)
 
 
 def packed_sparse_update(
@@ -268,7 +286,7 @@ def packed_sparse_update(
     # duplicate grads sum via the segmented scan; each segment's LAST slot
     # holds the total. t/m/v are identical across a segment (same source
     # row), so the last slot already carries them — no reduction needed.
-    g = _segmented_sum_scan(moved[:, c:c + e], is_start)
+    g = segmented_sum_scan(moved[:, c:c + e], is_start)
     t_old = moved[:, :e]
 
     if optimizer == "adam":

@@ -137,3 +137,43 @@ def test_din_kernel_gradients_match_xla():
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(his, tgt, mlp)
     for a, b_ in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
+
+def test_seg_scan_kernel_matches_xla_twin():
+    """segmented_sum_scan_pallas == the XLA _segmented_sum_scan, including
+    segments LONGER than a block (cross-block carry) and segments crossing
+    block boundaries mid-run."""
+    from pytorchrec_tpu.ops.kernels.seg_scan import segmented_sum_scan_pallas
+    from pytorchrec_tpu.ops.sparse_update import _segmented_sum_scan
+
+    rng = np.random.default_rng(11)
+    for n, e, block in ((300, 16, 32), (257, 16, 64), (64, 8, 8)):
+        # random segment heads plus one run longer than several blocks
+        heads = rng.random(n) < 0.15
+        heads[0] = True
+        heads[40:40 + min(3 * block, n - 45)] = False  # long run spans blocks
+        x = rng.normal(size=(n, e)).astype(np.float32)
+        want = _segmented_sum_scan(jnp.asarray(x), jnp.asarray(heads))
+        got = segmented_sum_scan_pallas(
+            jnp.asarray(x), jnp.asarray(heads), block_rows=block,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_seg_scan_kernel_single_and_all_heads():
+    from pytorchrec_tpu.ops.kernels.seg_scan import segmented_sum_scan_pallas
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(50, 4)).astype(np.float32)
+    # all heads: output == input
+    got = segmented_sum_scan_pallas(
+        jnp.asarray(x), jnp.ones(50, bool), block_rows=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), x, rtol=1e-6)
+    # one segment: output == cumsum
+    heads = np.zeros(50, bool)
+    heads[0] = True
+    got = segmented_sum_scan_pallas(
+        jnp.asarray(x), jnp.asarray(heads), block_rows=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.cumsum(x, axis=0),
+                               rtol=1e-4, atol=1e-5)
