@@ -168,7 +168,14 @@ def _scan_passes(x, done, start_d, end_d):
     return x, done
 
 
-_EAGER_DEPTH = 16  # segments up to this length covered by the eager passes
+# Segments up to this length are covered by the eager passes; longer runs
+# fall to the lax.cond tail (exactness never depends on the value). At the
+# bench id distribution (32k draws over 100k vocab per field, mean
+# multiplicity 0.33) P(run > 8) ~ 3e-4 per step, so 3 eager passes cover
+# essentially every step and the 4th pass (~1.9 ms at n=852k) never earns
+# its keep; Zipf-skewed batches fire the tail either way (hot ids belong in
+# the hot/cold replicated fragment, not this path).
+_EAGER_DEPTH = 8
 
 
 def _segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:

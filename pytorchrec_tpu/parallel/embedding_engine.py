@@ -123,7 +123,8 @@ def _resolve_capacity(capacity, n: int, n_shards: int) -> Optional[int]:
 
 def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
                       axis_name: str = MODEL_AXIS,
-                      capacity: Optional[int] = None) -> jnp.ndarray:
+                      capacity: Optional[int] = None,
+                      out_cols: Optional[int] = None) -> jnp.ndarray:
     """Per-shard body: route ids to owners, gather, route vectors back.
 
     ``ids`` must be 1-D here ([B_local]); callers flatten/unflatten.
@@ -132,6 +133,13 @@ def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     ``b``). With a bounded capacity the result is still exact — overflowed
     ids are resolved by a psum fallback round taken only on steps where any
     shard in the axis group overflowed (see module docstring).
+
+    ``out_cols``: return only the first ``out_cols`` columns of each row.
+    For PACKED [V/m, W] table||moments||staging leaves
+    (ops/sparse_update.py::pack_table) the owner gathers the full fast-width
+    row (W >= 64 is the vectorized-emitter regime — a narrow [n, E] gather
+    would be ~100 ns/row SLOWER) and slices to the embedding columns before
+    the return exchange, so ICI traffic stays at E, not W.
     """
     m = jax.lax.axis_size(axis_name)
     rows = table_shard.shape[0]
@@ -153,7 +161,9 @@ def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
                               tiled=False)  # [m, c]
     shard_index = jax.lax.axis_index(axis_name)
     local = jnp.clip(recv - shard_index * rows, 0, rows - 1)
-    gathered = table_shard[local]  # [m, c, E]
+    gathered = table_shard[local]  # [m, c, E or W]
+    if out_cols is not None:
+        gathered = gathered[..., :out_cols]
 
     # send vectors back along the reverse route
     back = jax.lax.all_to_all(gathered, axis_name, split_axis=0, concat_axis=0,
@@ -173,7 +183,8 @@ def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     any_over = jax.lax.psum(jnp.sum(need.astype(jnp.int32)), axis_name) > 0
 
     def fallback(_):
-        return all_to_all_lookup(table_shard, ids, axis_name, capacity=None)
+        return all_to_all_lookup(table_shard, ids, axis_name, capacity=None,
+                                 out_cols=out_cols)
 
     over = jax.lax.cond(any_over, fallback,
                         lambda _: jnp.zeros_like(vectors), None)
@@ -302,7 +313,8 @@ def all_to_all_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
 
 def grid_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
                 axes: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS),
-                capacity: Optional[int] = None) -> jnp.ndarray:
+                capacity: Optional[int] = None,
+                out_cols: Optional[int] = None) -> jnp.ndarray:
     """Per-device body: grid-sharded table lookup.
 
     ``table_shard``: [V/(d*m), E] — this device's rows of the grid layout.
@@ -327,7 +339,7 @@ def grid_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     mi = jax.lax.axis_index(model_axis)
     my_ids = jax.lax.dynamic_slice_in_dim(ids, mi * k, k)
     vectors = all_to_all_lookup(table_shard, my_ids, axes,
-                                capacity=capacity)  # [k, E]
+                                capacity=capacity, out_cols=out_cols)  # [k, E]
     full = jax.lax.all_gather(vectors, model_axis, tiled=True)  # [b+pad, E]
     return full[:b]
 

@@ -47,6 +47,7 @@ from jax.sharding import NamedSharding, PartitionSpec
 
 from pytorchrec_tpu.ops.sparse_update import (
     dedup_row_grads,
+    packed_sparse_update,
     sparse_adagrad,
     sparse_lazy_adam,
     sparse_rowwise_adagrad,
@@ -101,9 +102,19 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                  strategy: str = "1d", grad_compression: str | None = None,
                  grad_compression_min_size: int | None = None,
                  hot_counts=None, hot_rows=0.9,
-                 exchange_capacity: float | int | None = None):
+                 exchange_capacity: float | int | None = None,
+                 packed_tables: bool = False, packed_min_width: int = 64):
         assert mesh is not None, "ShardedSparseEmbeddingTrainer requires a mesh"
         assert strategy in ("1d", "grid", "hot_cold"), strategy
+        # packed fast-width rows (FUTURE 5b propagation): each table SHARD
+        # becomes [V/shards, W] table||moments||staging and the per-shard
+        # update runs ops/sparse_update.py::packed_sparse_update — 3 fast
+        # row passes instead of the classic ~6 narrow ones. Exchange traffic
+        # stays at E (all_to_all_lookup slices via out_cols before the
+        # return hop). hot_cold keeps the classic fragments for now.
+        assert not (packed_tables and strategy == "hot_cold"), (
+            "packed_tables is not supported with strategy='hot_cold' yet"
+        )
         assert grad_compression in (None, "int8"), grad_compression
         # int8 dense-grad collectives with error feedback — for DATA axes
         # that ride slow DCN links (few participants); see
@@ -134,7 +145,9 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         self._hot_counts = dict(hot_counts or {})
         self._hot_budget = hot_rows
         self._hot_layouts = {}  # param path -> HotColdLayout (set at _make_state)
-        super().__init__(model, mesh=mesh, table_optimizer=table_optimizer)
+        super().__init__(model, mesh=mesh, table_optimizer=table_optimizer,
+                         packed_tables=packed_tables,
+                         packed_min_width=packed_min_width)
 
     # ------------------------------------------------------------------
     # state layout
@@ -307,6 +320,8 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         hot_layouts = dict(self._hot_layouts)
         # layout perms are static (fixed at init): closed over as constants
         hot_perms = {p: jnp.asarray(lo.perm) for p, lo in hot_layouts.items()}
+        use_packed = self.packed_tables
+        emb_dims = dict(self._table_emb_dims) if use_packed else {}
 
         def step_body(state, batch):
             # per-device view: batch sharded over data; tables/moments are
@@ -347,11 +362,15 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                         is_hot[:, None], hot_vec, cold_vec)
                     hot_aux[name] = (packed, is_hot)
                 elif grid:
-                    rows_in[name] = grid_lookup(shard, ids, table_axes,
-                                                capacity=cap)
+                    # packed shards gather full fast-width rows locally and
+                    # slice to E before the return hop (out_cols)
+                    rows_in[name] = grid_lookup(
+                        shard, ids, table_axes, capacity=cap,
+                        out_cols=emb_dims.get(path))
                 else:
-                    rows_in[name] = all_to_all_lookup(shard, ids, MODEL_AXIS,
-                                                      capacity=cap)
+                    rows_in[name] = all_to_all_lookup(
+                        shard, ids, MODEL_AXIS, capacity=cap,
+                        out_cols=emb_dims.get(path))
 
             def compute_loss(params, rows):
                 patched = dict(batch)
@@ -387,12 +406,19 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
             updates, opt_state = dense_tx.update(
                 dense_grads, state.opt_state, state.params
             )
-            params = jax.tree_util.tree_map(
-                lambda p, u: p + u, state.params, updates
-            )
+            # packed table leaves must not see even a p+0 add: it would
+            # materialize a fresh [V/m, W] buffer and break the scatter's
+            # in-place aliasing with the donated state (masked optax emits
+            # zero updates for them either way)
+            flat_p = dict(_flatten(state.params))
+            flat_u = dict(_flatten(updates))
+            flat = {
+                k: (flat_p[k] if (use_packed and k in table_paths)
+                    else flat_p[k] + flat_u[k])
+                for k in flat_p
+            }
 
             step = state.step + 1
-            flat = dict(_flatten(params))
             moments = dict(state.table_moments)
             for name, spec in specs.items():
                 path = spec["path"]
@@ -452,6 +478,40 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                             h_ids, h_rows, lr=table_lr)
                         flat[path], flat[hot_key] = cold_t, hot_t
                         moments[path] = {"acc": cacc, "hot_acc": hacc}
+                    continue
+                if use_packed:
+                    # FUTURE 5b propagation: ONE packed_sparse_update per
+                    # shard (fast-width gather + permute + scatter; the
+                    # sort/scan inside combines duplicates, so no pre-dedup
+                    # pass — dedup keeps the same static length anyway, the
+                    # data-axis gather payload is identical)
+                    g_occ = row_grads[name] * inv_data
+                    if grid:
+                        a_ids, a_rows = grid_rowgrad(
+                            ids_map[name], g_occ, rows_per_shard, table_axes,
+                            capacity=cap)
+                        offset = (jax.lax.axis_index(table_axes)
+                                  * rows_per_shard)
+                    else:
+                        r_ids, r_rows = all_to_all_rowgrad(
+                            ids_map[name], g_occ, rows_per_shard, MODEL_AXIS,
+                            capacity=cap)
+                        # replicated-update discipline over data: every
+                        # replica applies the identical update
+                        a_ids = jax.lax.all_gather(r_ids, DATA_AXIS,
+                                                   tiled=True)
+                        a_rows = jax.lax.all_gather(r_rows, DATA_AXIS,
+                                                    tiled=True)
+                        offset = (jax.lax.axis_index(MODEL_AXIS)
+                                  * rows_per_shard)
+                    # sentinel slots map >= rows_per_shard: their row gather
+                    # clamps to the last row (values unused) and the
+                    # update's scatter drops them
+                    local_ids = (a_ids - offset).astype(jnp.int32)
+                    rows_now = jax.lax.stop_gradient(flat[path])[local_ids]
+                    flat[path] = packed_sparse_update(
+                        flat[path], rows_now, local_ids, a_rows, step,
+                        lr=table_lr, optimizer=table_optimizer)
                     continue
                 if grid:
                     # every received row is owned HERE (unique grid owner):
@@ -593,6 +653,8 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         cross-layout checkpoint interop (parallel/hot_cold.py::merge_table)."""
         from pytorchrec_tpu.parallel.hot_cold import merge_table
 
+        if self.packed_tables:  # packed [V, W] leaves -> plain [V, E]
+            return self.unpacked_params()
         params = jax.device_get(self.state.params)
         if not self._hot_layouts:
             return params

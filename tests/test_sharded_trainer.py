@@ -499,3 +499,107 @@ def test_funksvd_hot_cold_fit_matches_single_device(ranking_reader,
     e_single = single.evaluate(ranking_reader, split="dev", batch_size=32)
     e_sharded = sharded.evaluate(ranking_reader, split="dev", batch_size=32)
     assert e_single["hit@5"] == pytest.approx(e_sharded["hit@5"], abs=1e-6)
+
+
+@pytest.mark.parametrize("table_optimizer,strategy", [
+    ("adam", "1d"), ("adam", "grid"), ("rowwise_adagrad", "1d"),
+    ("adagrad", "grid"),
+])
+def test_funksvd_packed_fit_matches_single_device(ranking_reader,
+                                                  table_optimizer, strategy):
+    """packed_tables=True through the explicit engine (FUTURE 5b
+    propagation): each shard holds [V/shards, W] table||moments||staging
+    rows, the forward lookup slices to E before the return hop (out_cols),
+    and the per-shard update is ONE packed_sparse_update. fit() on the
+    (data=4, model=2) mesh must match the single-device PACKED trainer."""
+    from pytorchrec_tpu.models import FunkSVD
+    from pytorchrec_tpu.training import (
+        ShardedSparseEmbeddingTrainer,
+        SparseEmbeddingTrainer,
+    )
+    from pytorchrec_tpu.utils import constants as C
+
+    cols = ranking_reader.get_feature_column_dict()
+
+    def run(mesh):
+        model = FunkSVD(uid_column=cols[C.UID], iid_column=cols[C.IID],
+                        label_column=cols[C.LABEL], emb_size=8,
+                        table_row_multiple=8)
+        if mesh is None:
+            tr = SparseEmbeddingTrainer(model, table_optimizer=table_optimizer,
+                                        packed_tables=True)
+        else:
+            tr = ShardedSparseEmbeddingTrainer(
+                model, mesh=mesh, table_optimizer=table_optimizer,
+                strategy=strategy, packed_tables=True)
+        tr.compile(optimizer="adam", lr=0.01, loss="bce",
+                   metrics=("hit@5",), user_sample_n=10)
+        tr.fit(ranking_reader, batch_size=32, epochs=2, verbose=0,
+               eval_dev=False, seed=7)
+        return tr
+
+    single = run(None)
+    sharded = run(make_mesh(data=4, model=2))
+
+    # packed leaves carry table + moments + staging in one [V, W] buffer, so
+    # comparing params covers the moments too; unpacked view for export
+    _tree_allclose(single.state.params, sharded.state.params)
+    _tree_allclose(single.unpacked_params(), sharded.merged_params())
+
+    # placement: packed [V, W] leaves really live row-sharded
+    from pytorchrec_tpu.ops.sparse_update import packed_width
+    want = (PartitionSpec((DATA_AXIS, MODEL_AXIS), None) if strategy == "grid"
+            else PartitionSpec(MODEL_AXIS, None))
+    flat = jax.tree_util.tree_flatten_with_path(sharded.state.params)[0]
+    specs = {
+        "/".join(str(getattr(k, "key", k)) for k in path):
+            (leaf.sharding.spec, leaf.shape)
+        for path, leaf in flat
+    }
+    w = packed_width(8, table_optimizer)
+    for tbl in ("u_embeddings/embedding", "i_embeddings/embedding"):
+        spec, shape = specs[tbl]
+        assert spec == want, (tbl, spec)
+        assert shape[1] == w, (tbl, shape)
+
+    e_single = single.evaluate(ranking_reader, split="dev", batch_size=32)
+    e_sharded = sharded.evaluate(ranking_reader, split="dev", batch_size=32)
+    assert e_single["hit@5"] == pytest.approx(e_sharded["hit@5"], abs=1e-6)
+
+
+def test_packed_sharded_bounded_capacity_and_serving(ranking_reader):
+    """packed + exchange_capacity=1 (permanent overflow -> fallback rounds
+    every step) still matches; make_serving_fn exports the plain [V, E]
+    gather model from the packed sharded state."""
+    from pytorchrec_tpu.models import FunkSVD
+    from pytorchrec_tpu.training import (
+        ShardedSparseEmbeddingTrainer,
+        SparseEmbeddingTrainer,
+    )
+    from pytorchrec_tpu.utils import constants as C
+
+    cols = ranking_reader.get_feature_column_dict()
+
+    def run(mesh):
+        model = FunkSVD(uid_column=cols[C.UID], iid_column=cols[C.IID],
+                        label_column=cols[C.LABEL], emb_size=8,
+                        table_row_multiple=8)
+        if mesh is None:
+            tr = SparseEmbeddingTrainer(model, packed_tables=True)
+        else:
+            tr = ShardedSparseEmbeddingTrainer(
+                model, mesh=mesh, strategy="1d", packed_tables=True,
+                exchange_capacity=1)
+        tr.compile(optimizer="adam", lr=0.01, loss="bce",
+                   metrics=("hit@5",), user_sample_n=10)
+        tr.fit(ranking_reader, batch_size=32, epochs=1, verbose=0,
+               eval_dev=False, seed=7)
+        return tr
+
+    single, sharded = run(None), run(make_mesh(data=4, model=2))
+    _tree_allclose(single.state.params, sharded.state.params)
+
+    # serving export unpacks the packed sharded state to plain [V, E]
+    unpacked = sharded.merged_params()
+    assert unpacked["u_embeddings"]["embedding"].shape[1] == 8
+    assert sharded.make_serving_fn() is not None
