@@ -63,6 +63,11 @@ class _CTRBase(RecModel):
     # groups (scale leaf [V, G] instead of [V]) so one outlier column does
     # not inflate the whole row's quantization step; biggest win at int4
     scale_col_groups: int = 1
+    # packed byte-row storage for the quantized table: q||scale||acc in one
+    # [V, W>=64] uint8 leaf (ops/quantized_packed.py) so row ops hit the
+    # vectorized >=64-column emitter; train with
+    # QuantizedEmbeddingTrainer(packed_tables=True)
+    table_packed: bool = False
     # round the unified table's rows up so they divide a mesh 'model' axis
     # (the explicit sharded-embedding trainer requires equal row shards;
     # padding rows are never referenced — unified ids stay < sum(vocab))
@@ -99,24 +104,47 @@ class _CTRBase(RecModel):
                 groups = self.scale_col_groups
                 assert self.emb_size % groups == 0, (self.emb_size, groups)
 
-                def q_init(rng, shape):
-                    rows = normal_init(rng, (shape[0], self.emb_size))
-                    q, _ = quantize_rows_xla(rows, bits=self.table_bits,
-                                             col_groups=groups)
-                    return q
+                if self.table_packed:
+                    # packed byte rows (ops/quantized_packed.py): q, scale
+                    # and the rowwise-Adagrad accumulator live in ONE
+                    # [V, W>=64] uint8 leaf so every row op runs on the
+                    # vectorized (column-count >= 64) emitter path
+                    from pytorchrec_tpu.ops.quantized_packed import (
+                        pack_quantized_table,
+                    )
 
-                def s_init(rng, shape):
-                    rows = normal_init(rng, (shape[0], self.emb_size))
-                    _, scale = quantize_rows_xla(rows, bits=self.table_bits,
+                    def packed_init(rng, shape):
+                        rows = normal_init(rng, (shape[0], self.emb_size))
+                        q, s = quantize_rows_xla(rows, bits=self.table_bits,
                                                  col_groups=groups)
-                    return scale
+                        acc = jnp.zeros((shape[0],), jnp.float32)
+                        return pack_quantized_table(
+                            q, s, acc, self.emb_size, self.table_bits, groups)
 
-                # NOTE: q/scale come from independent inits; exact row values
-                # are re-established by the first quantized update. Kept
-                # simple: tables start near-normal(0, 0.01) either way.
-                self.unified_q = self.param("unified_q", q_init, (total, stored))
-                scale_shape = (total,) if groups == 1 else (total, groups)
-                self.unified_scale = self.param("unified_scale", s_init, scale_shape)
+                    self.unified_q = self.param("unified_q", packed_init,
+                                                (total,))
+                else:
+                    def q_init(rng, shape):
+                        rows = normal_init(rng, (shape[0], self.emb_size))
+                        q, _ = quantize_rows_xla(rows, bits=self.table_bits,
+                                                 col_groups=groups)
+                        return q
+
+                    def s_init(rng, shape):
+                        rows = normal_init(rng, (shape[0], self.emb_size))
+                        _, scale = quantize_rows_xla(rows, bits=self.table_bits,
+                                                     col_groups=groups)
+                        return scale
+
+                    # NOTE: q/scale come from independent inits; exact row
+                    # values are re-established by the first quantized
+                    # update. Kept simple: tables start near-normal(0, 0.01)
+                    # either way.
+                    self.unified_q = self.param("unified_q", q_init,
+                                                (total, stored))
+                    scale_shape = (total,) if groups == 1 else (total, groups)
+                    self.unified_scale = self.param("unified_scale", s_init,
+                                                    scale_shape)
             else:
                 self.unified_table = Embedding(total, self.emb_size, name="unified_emb")
             self.unified_lin = Embedding(total, 1, name="unified_lin")
@@ -147,6 +175,17 @@ class _CTRBase(RecModel):
         if rows is not None:
             return jnp.reshape(rows, (*ids.shape, self.emb_size))
         if self.quantized_embedding:
+            if self.table_packed:
+                from pytorchrec_tpu.ops.quantized_packed import (
+                    dequant_packed_rows,
+                )
+
+                flat = jnp.reshape(self.unified_q[ids.reshape(-1)],
+                                   (-1, self.unified_q.shape[1]))
+                rows = dequant_packed_rows(flat, self.emb_size,
+                                           self.table_bits,
+                                           self.scale_col_groups)
+                return jnp.reshape(rows, (*ids.shape, self.emb_size))
             from pytorchrec_tpu.ops.kernels.quantize import dequantize_rows
 
             return dequantize_rows(self.unified_q[ids], self.unified_scale[ids],
@@ -218,9 +257,11 @@ class _CTRBase(RecModel):
                         axis=-1)
         return {
             "unified": {
-                "q": "unified_q", "scale": "unified_scale",
+                "q": "unified_q",
+                "scale": None if self.table_packed else "unified_scale",
                 "ids": ids, "rows_key": self.ROWS_KEY, "bits": self.table_bits,
                 "col_groups": self.scale_col_groups,
+                "packed": self.table_packed, "emb_size": self.emb_size,
             }
         }
 

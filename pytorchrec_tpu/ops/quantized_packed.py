@@ -1,0 +1,173 @@
+"""Packed BYTE-row layout for quantized embedding tables.
+
+The measured v5e row-op rule (RESULTS.md, int-dtype probe 2026-08-18): the
+vectorized gather/scatter emitter switches on COLUMN COUNT (>= 64), not
+bytes, and once vectorized fewer bytes win — an int8 [852k, 128] scatter
+runs 3.7 ms where the classic quantized trainer's 16-24 BYTE q/scale/acc
+rows each pay the serialized ~100 ns/row path. This module therefore packs
+everything the quantized update touches into ONE uint8 row:
+
+    [0, qb)             q bytes (qb = E for int8, E/2 nibble-packed int4)
+    [qb, qb+4G)         per-row scale f32 (G column groups), bitcast
+    [qb+4G, qb+4G+4)    rowwise-Adagrad accumulator f32, bitcast
+    [base, base+4E)     f32 row-grad staging (rides the update permute)
+    [base+4E, W)        zero pad to the 64-column multiple
+
+so the train step runs exactly 3 fast row passes (forward gather, one
+combined permute inside the update, one scatter) — the same shape as the
+f32 packed path (ops/sparse_update.py::packed_sparse_update) at half the
+bytes (W=128 vs 256 at E=16).
+
+Numerics are identical to the classic QuantizedEmbeddingTrainer update
+(dequantize -> rowwise Adagrad -> stochastic requantize,
+training/quantized_trainer.py): f32 fields are bitcast, never converted.
+
+Reference analogue: the quantized-embedding idea itself mirrors
+production DLRM int8 tables; the reference stores f32 torch embeddings
+(model/FunkSVD.py:40-41) — this layout is the TPU-native densification.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pytorchrec_tpu.ops.kernels.quantize import dequantize_rows, quantize_rows_xla
+from pytorchrec_tpu.ops.sparse_update import _FAST_WIDTH, segmented_sum_scan
+
+
+def q_row_bytes(emb_dim: int, bits: int) -> int:
+    assert bits in (8, 4)
+    assert bits == 8 or emb_dim % 2 == 0
+    return emb_dim if bits == 8 else emb_dim // 2
+
+
+def packed_q_base(emb_dim: int, bits: int, col_groups: int) -> int:
+    """Byte offset of the grad-staging region (= bytes of q + scale + acc)."""
+    return q_row_bytes(emb_dim, bits) + 4 * col_groups + 4
+
+
+def packed_q_width(emb_dim: int, bits: int, col_groups: int = 1,
+                   min_width: int = _FAST_WIDTH) -> int:
+    need = packed_q_base(emb_dim, bits, col_groups) + 4 * emb_dim
+    return max(min_width, -(-need // _FAST_WIDTH) * _FAST_WIDTH)
+
+
+def _f32_to_bytes(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., k] f32 -> [..., 4k] uint8 (bit view, platform byte order)."""
+    b = jax.lax.bitcast_convert_type(x, jnp.uint8)  # [..., k, 4]
+    return b.reshape(*x.shape[:-1], x.shape[-1] * 4)
+
+
+def _bytes_to_f32(b: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4k] uint8 -> [..., k] f32 (inverse bit view)."""
+    k = b.shape[-1] // 4
+    return jax.lax.bitcast_convert_type(
+        b.reshape(*b.shape[:-1], k, 4), jnp.float32)
+
+
+def pack_quantized_table(q: jnp.ndarray, scale: jnp.ndarray,
+                         acc: jnp.ndarray, emb_dim: int, bits: int = 8,
+                         col_groups: int = 1,
+                         min_width: int = _FAST_WIDTH) -> jnp.ndarray:
+    """(q [V, qb] int8, scale [V] or [V, G] f32, acc [V] f32) -> [V, W] u8."""
+    v = q.shape[0]
+    scale2 = scale[:, None] if scale.ndim == 1 else scale
+    assert scale2.shape == (v, col_groups), (scale.shape, col_groups)
+    w = packed_q_width(emb_dim, bits, col_groups, min_width)
+    base = packed_q_base(emb_dim, bits, col_groups)
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(q, jnp.uint8),
+        _f32_to_bytes(scale2),
+        _f32_to_bytes(acc[:, None]),
+        jnp.zeros((v, w - base), jnp.uint8),
+    ], axis=1)
+
+
+def unpack_quantized_table(packed: jnp.ndarray, emb_dim: int, bits: int = 8,
+                           col_groups: int = 1,
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """[V, W] u8 -> (q int8, scale [V] or [V, G], acc [V]) — pack inverse."""
+    qb = q_row_bytes(emb_dim, bits)
+    q = jax.lax.bitcast_convert_type(packed[:, :qb], jnp.int8)
+    scale = _bytes_to_f32(packed[:, qb:qb + 4 * col_groups])
+    acc = _bytes_to_f32(packed[:, qb + 4 * col_groups:qb + 4 * col_groups + 4])
+    if col_groups == 1:
+        scale = scale[:, 0]
+    return q, scale, acc[:, 0]
+
+
+def dequant_packed_rows(rows: jnp.ndarray, emb_dim: int, bits: int = 8,
+                        col_groups: int = 1) -> jnp.ndarray:
+    """[n, W] u8 packed rows -> [n, E] f32 dequantized embedding rows."""
+    qb = q_row_bytes(emb_dim, bits)
+    q = jax.lax.bitcast_convert_type(rows[:, :qb], jnp.int8)
+    scale = _bytes_to_f32(rows[:, qb:qb + 4 * col_groups])
+    if col_groups == 1:
+        scale = scale[:, 0]
+    return dequantize_rows(q, scale, bits=bits, col_groups=col_groups)
+
+
+def packed_quantized_update(
+    packed: jnp.ndarray,    # [V, W] u8 (pack_quantized_table)
+    rows: jnp.ndarray,      # [n, W] the forward gather of packed at ids
+    ids: jnp.ndarray,       # [n] per-occurrence ids (duplicates allowed)
+    dvec: jnp.ndarray,      # [n, E] per-occurrence f32 row grads
+    rng_bits,               # [n, E] uint32 stochastic-rounding bits, or None
+    lr: float,
+    bits: int = 8,
+    col_groups: int = 1,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Rowwise-Adagrad + stochastic requantize over the packed byte rows —
+    3 fast row passes total, same structure as ``packed_sparse_update``:
+    one combined permute (grads staged INTO the row bytes), duplicate grads
+    summed by the segmented scan, one scatter-set of each segment's last
+    slot. Same lazy semantics as the classic quantized trainer's update
+    (training/quantized_trainer.py:147-178); ``rows`` must be the
+    pre-update forward gather.
+    """
+    n, e = dvec.shape
+    w = packed.shape[1]
+    qb = q_row_bytes(e, bits)
+    base = packed_q_base(e, bits, col_groups)
+    assert w >= base + 4 * e, (w, base, e)
+
+    sorted_ids, order = jax.lax.sort(
+        (ids, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    staged = jnp.concatenate([
+        rows[:, :base], _f32_to_bytes(dvec),
+        jnp.zeros((n, w - base - 4 * e), jnp.uint8)], axis=1)
+    moved = staged[order]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]])
+    is_last = jnp.concatenate(
+        [sorted_ids[1:] != sorted_ids[:-1], jnp.ones((1,), bool)])
+
+    g = segmented_sum_scan(_bytes_to_f32(moved[:, base:base + 4 * e]),
+                           is_start)
+    q_old = jax.lax.bitcast_convert_type(moved[:, :qb], jnp.int8)
+    scale_old = _bytes_to_f32(moved[:, qb:qb + 4 * col_groups])
+    acc_old = _bytes_to_f32(moved[:, qb + 4 * col_groups:
+                                  qb + 4 * col_groups + 4])[:, 0]
+    current = dequantize_rows(
+        q_old, scale_old[:, 0] if col_groups == 1 else scale_old,
+        bits=bits, col_groups=col_groups)
+
+    acc_new = acc_old + jnp.mean(jnp.square(g), axis=-1)
+    new_rows = current - lr * g / (jnp.sqrt(acc_new)[:, None] + eps)
+    q_new, s_new = quantize_rows_xla(new_rows, rng_bits=rng_bits, bits=bits,
+                                     col_groups=col_groups)
+    s2 = s_new[:, None] if col_groups == 1 else s_new
+    out = jnp.concatenate([
+        jax.lax.bitcast_convert_type(q_new, jnp.uint8),
+        _f32_to_bytes(s2),
+        _f32_to_bytes(acc_new[:, None]),
+        jnp.zeros((n, w - base), jnp.uint8)], axis=1)
+
+    slot = jnp.arange(n)
+    safe_ids = jnp.where(is_last, sorted_ids,
+                         packed.shape[0] + slot).astype(jnp.int32)
+    return packed.at[safe_ids].set(out, mode="drop", unique_indices=True)

@@ -53,12 +53,21 @@ def _unflatten(flat):
 
 
 class QuantizedEmbeddingTrainer(Trainer):
-    def __init__(self, model, mesh=None, table_eps: float = 1e-6):
+    def __init__(self, model, mesh=None, table_eps: float = 1e-6,
+                 packed_tables: bool = False):
         assert hasattr(model, "quantized_table_spec"), (
             f"{type(model).__name__} does not implement quantized_table_spec()"
         )
         super().__init__(model, mesh=mesh)
         self.table_eps = table_eps
+        # packed BYTE rows (ops/quantized_packed.py): q||scale||acc||staging
+        # in one [V, W>=64] uint8 leaf — the vectorized row emitter engages
+        # on COLUMN count, so 64+ byte columns run ~40x faster per pass than
+        # the classic 16-24 byte q/scale/acc rows (RESULTS.md int-dtype
+        # width probe); the step drops to 3 fast row passes like the f32
+        # packed path, at half its bytes.
+        self.packed_tables = packed_tables
+        self._packed_specs = {}
         self._table_lr = None
 
     def compile(self, *args, lr: float = 1e-3, **kwargs):
@@ -78,14 +87,31 @@ class QuantizedEmbeddingTrainer(Trainer):
         quantized_leaves = set()
         acc = {}
         for name, table in spec.items():
-            assert table["q"] in flat and table["scale"] in flat, (table, list(flat))
-            quantized_leaves |= {table["q"], table["scale"]}
-            acc[name] = jnp.zeros(flat[table["q"]].shape[0], jnp.float32)
+            assert bool(table.get("packed")) == self.packed_tables, (
+                "model table_packed and trainer packed_tables must agree: "
+                f"{table.get('packed')} vs {self.packed_tables}"
+            )
+            assert table["q"] in flat, (table, list(flat))
+            quantized_leaves.add(table["q"])
+            if table.get("packed"):
+                # scale + the rowwise accumulator live INSIDE the packed
+                # byte rows; keep a zero-size accumulator so the state tree
+                # structure is stable for donation/checkpointing
+                acc[name] = jnp.zeros((0,), jnp.float32)
+                self._packed_specs[name] = dict(
+                    emb=table["emb_size"], bits=table.get("bits", 8),
+                    col_groups=table.get("col_groups", 1),
+                    q_path=table["q"])
+            else:
+                assert table["scale"] in flat, (table, list(flat))
+                quantized_leaves.add(table["scale"])
+                acc[name] = jnp.zeros(flat[table["q"]].shape[0], jnp.float32)
 
         import optax
 
         mask = _unflatten({k: k not in quantized_leaves for k in flat})
         self._dense_tx = optax.masked(self.tx, mask)
+
         return QuantizedTrainState(
             params=params,
             opt_state=self._dense_tx.init(params),
@@ -94,7 +120,103 @@ class QuantizedEmbeddingTrainer(Trainer):
             table_acc=acc,
         )
 
+    def _build_packed_train_step(self):
+        """3 fast row passes per table: one uint8 packed-row gather serves
+        the forward (dequantized slice) AND the update (scale + acc ride
+        along); ops/quantized_packed.py::packed_quantized_update does the
+        combined permute + scan dedup + single scatter."""
+        from pytorchrec_tpu.ops.quantized_packed import (
+            dequant_packed_rows,
+            packed_quantized_update,
+        )
+
+        model, loss_fn = self.model, self.loss_fn
+        table_lr, eps = self._table_lr, self.table_eps
+        dense_tx = self._dense_tx
+        packed_specs = dict(self._packed_specs)
+
+        def train_step(state: QuantizedTrainState, batch):
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            spec = model.quantized_table_spec(batch)
+            flat_params = _flatten(state.params)
+
+            rows_in, ids_map, packed_rows = {}, {}, {}
+            for name, table in spec.items():
+                info = packed_specs[name]
+                ids = jnp.asarray(table["ids"]).reshape(-1).astype(jnp.int32)
+                ids_map[name] = ids
+                leaf = jax.lax.stop_gradient(flat_params[table["q"]])
+                packed_rows[name] = leaf[ids]
+                rows_in[name] = dequant_packed_rows(
+                    packed_rows[name], info["emb"], info["bits"],
+                    info["col_groups"])
+
+            def compute_loss(params, rows):
+                patched_batch = dict(batch)
+                for name, table in spec.items():
+                    patched_batch[table["rows_key"]] = rows[name]
+                prediction, target = model.apply(
+                    {"params": params}, patched_batch, train=True,
+                    rngs={"dropout": step_rng},
+                )
+                return loss_fn(prediction, target)
+
+            loss, (dense_grads, row_grads) = jax.value_and_grad(
+                compute_loss, argnums=(0, 1), allow_int=True
+            )(state.params, rows_in)
+
+            updates, opt_state = dense_tx.update(
+                dense_grads, state.opt_state, state.params
+            )
+            # float0 "updates" (masked int leaves) skip, and the packed u8
+            # leaves must not see even a p+0 add (it would break the
+            # scatter's donation aliasing)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p if u.dtype == jax.dtypes.float0 else p + u,
+                state.params, updates,
+            )
+
+            step = state.step + 1
+            flat = dict(_flatten(params))
+            for table_index, (name, table) in enumerate(spec.items()):
+                info = packed_specs[name]
+                rng_bits = jax.random.bits(
+                    jax.random.fold_in(step_rng, 1 + table_index),
+                    row_grads[name].shape, jnp.uint32,
+                )
+                flat[table["q"]] = packed_quantized_update(
+                    flat[table["q"]], packed_rows[name], ids_map[name],
+                    row_grads[name], rng_bits, table_lr,
+                    bits=info["bits"], col_groups=info["col_groups"],
+                    eps=eps)
+
+            new_state = state.replace(
+                params=_unflatten(flat), opt_state=opt_state, step=step,
+                table_acc=state.table_acc,
+            )
+            return new_state, loss
+
+        return train_step
+
+    def unpacked_quantized(self):
+        """Host copies of each packed table's classic (q int8, scale, acc)
+        triple — for cross-layout checkpoint interop (load into a
+        ``table_packed=False`` model) or offline inspection. Eval/serving
+        need no unpacking: the packed model dequantizes from its own leaf."""
+        assert self.packed_tables
+        from pytorchrec_tpu.ops.quantized_packed import unpack_quantized_table
+
+        flat = _flatten(jax.device_get(self.state.params))
+        out = {}
+        for name, info in self._packed_specs.items():
+            out[name] = unpack_quantized_table(
+                jnp.asarray(flat[info["q_path"]]), info["emb"], info["bits"],
+                info["col_groups"])
+        return out
+
     def _build_train_step(self):
+        if self.packed_tables:
+            return self._build_packed_train_step()
         model, loss_fn = self.model, self.loss_fn
         table_lr, eps = self._table_lr, self.table_eps
         dense_tx = self._dense_tx
