@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from pytorchrec_tpu.feature_column import CategoricalColumnWithIdentity, NumericColumn
@@ -113,13 +114,28 @@ class _CTRBase(RecModel):
                         pack_quantized_table,
                     )
 
-                    def packed_init(rng, shape):
-                        rows = normal_init(rng, (shape[0], self.emb_size))
+                    def _pack_chunk(rng, n):
+                        rows = normal_init(rng, (n, self.emb_size))
                         q, s = quantize_rows_xla(rows, bits=self.table_bits,
                                                  col_groups=groups)
-                        acc = jnp.zeros((shape[0],), jnp.float32)
+                        acc = jnp.zeros((n,), jnp.float32)
                         return pack_quantized_table(
                             q, s, acc, self.emb_size, self.table_bits, groups)
+
+                    def packed_init(rng, shape):
+                        # chunked: the normal->quantize->pack chain keeps
+                        # several [V, E] f32 temporaries live inside the one
+                        # init jit — at 26M rows that transient peak OOMs a
+                        # 16 GB chip even though the packed result is 3.3 GB
+                        n, chunk = shape[0], 2_000_000
+                        if n <= chunk:
+                            return _pack_chunk(rng, n)
+                        parts = [
+                            _pack_chunk(jax.random.fold_in(rng, i),
+                                        min(chunk, n - start))
+                            for i, start in enumerate(range(0, n, chunk))
+                        ]
+                        return jnp.concatenate(parts)
 
                     self.unified_q = self.param("unified_q", packed_init,
                                                 (total,))

@@ -111,10 +111,8 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         # update runs ops/sparse_update.py::packed_sparse_update — 3 fast
         # row passes instead of the classic ~6 narrow ones. Exchange traffic
         # stays at E (all_to_all_lookup slices via out_cols before the
-        # return hop). hot_cold keeps the classic fragments for now.
-        assert not (packed_tables and strategy == "hot_cold"), (
-            "packed_tables is not supported with strategy='hot_cold' yet"
-        )
+        # return hop). With hot_cold, BOTH fragments are packed: the
+        # replicated hot fragment [h, W] and the row-sharded cold tail.
         assert grad_compression in (None, "int8"), grad_compression
         # int8 dense-grad collectives with error feedback — for DATA axes
         # that ride slow DCN links (few participants); see
@@ -209,6 +207,12 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                     [cold, jnp.zeros((pad, e), leaf.dtype)])
             flat[path] = cold
             flat["hot_tables/" + path] = packed[:h]
+            if self.packed_tables:
+                # fragments of a packed [V, W] leaf carry their moments (and
+                # grad staging) inside the rows; the row permute/split above
+                # moved them along (all zero at init)
+                moments[path] = {}
+                continue
             zc = jnp.zeros((c, e), leaf.dtype)
             zh = jnp.zeros((h, e), leaf.dtype)
             if self.table_optimizer == "adam":
@@ -355,9 +359,12 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                     hot = jax.lax.stop_gradient(
                         flat_params["hot_tables/" + path])
                     hot_vec = hot[jnp.clip(packed, 0, h - 1)]
+                    if use_packed:  # fast-width gather, then slice to E
+                        hot_vec = hot_vec[:, :emb_dims[path]]
                     cold_ids = jnp.where(is_hot, 0, packed - h)
                     cold_vec = all_to_all_lookup(shard, cold_ids, MODEL_AXIS,
-                                                 capacity=cap)
+                                                 capacity=cap,
+                                                 out_cols=emb_dims.get(path))
                     rows_in[name] = jnp.where(
                         is_hot[:, None], hot_vec, cold_vec)
                     hot_aux[name] = (packed, is_hot)
@@ -440,6 +447,33 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                     r_ids, r_rows = all_to_all_rowgrad(
                         cold_gids, g_occ, rows_per_shard, MODEL_AXIS,
                         capacity=cap)
+                    if use_packed:
+                        # both fragments take ONE packed update each (the
+                        # internal sort/scan dedups; sentinels drop at the
+                        # scatters: cold sentinel >= rows_per_shard after
+                        # the offset shift, hot sentinel == h)
+                        hot_key = "hot_tables/" + path
+                        c_ids = jax.lax.all_gather(r_ids, DATA_AXIS,
+                                                   tiled=True)
+                        c_rows = jax.lax.all_gather(r_rows, DATA_AXIS,
+                                                    tiled=True)
+                        c_local = (c_ids - jax.lax.axis_index(MODEL_AXIS)
+                                   * rows_per_shard).astype(jnp.int32)
+                        cold_now = jax.lax.stop_gradient(flat[path])[c_local]
+                        flat[path] = packed_sparse_update(
+                            flat[path], cold_now, c_local, c_rows, step,
+                            lr=table_lr, optimizer=table_optimizer)
+                        hot_gids = jnp.where(
+                            is_hot, packed, jnp.asarray(h, packed.dtype))
+                        h_ids = jax.lax.all_gather(
+                            hot_gids, DATA_AXIS, tiled=True).astype(jnp.int32)
+                        h_rows = jax.lax.all_gather(g_occ, DATA_AXIS,
+                                                    tiled=True)
+                        hot_now = jax.lax.stop_gradient(flat[hot_key])[h_ids]
+                        flat[hot_key] = packed_sparse_update(
+                            flat[hot_key], hot_now, h_ids, h_rows, step,
+                            lr=table_lr, optimizer=table_optimizer)
+                        continue
                     g = dedup_row_grads(r_ids, r_rows)
                     all_ids = jax.lax.all_gather(g.ids, DATA_AXIS, tiled=True)
                     all_rows = jax.lax.all_gather(g.rows, DATA_AXIS, tiled=True)
@@ -592,6 +626,7 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         hot_layouts = dict(self._hot_layouts)
         hot_perms = {p: jnp.asarray(lo.perm) for p, lo in hot_layouts.items()}
         cap = self.exchange_capacity
+        emb_dims = dict(self._table_emb_dims) if self.packed_tables else {}
 
         def eval_body(params, batch):
             flat = _flatten(params)
@@ -605,18 +640,22 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                 ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
                 path = spec["path"]
                 layout = hot_layouts.get(path)
+                out_cols = emb_dims.get(path)
                 if layout is None:
                     rows = all_to_all_lookup(flat[path], ids, MODEL_AXIS,
-                                             capacity=cap)
+                                             capacity=cap, out_cols=out_cols)
                 else:
                     h = layout.hot_rows
                     packed = hot_perms[path][ids]
                     is_hot = packed < h
                     hot_vec = flat["hot_tables/" + path][
                         jnp.clip(packed, 0, h - 1)]
+                    if out_cols is not None:
+                        hot_vec = hot_vec[:, :out_cols]
                     cold_ids = jnp.where(is_hot, 0, packed - h)
                     cold_vec = all_to_all_lookup(
-                        flat[path], cold_ids, MODEL_AXIS, capacity=cap)
+                        flat[path], cold_ids, MODEL_AXIS, capacity=cap,
+                        out_cols=out_cols)
                     rows = jnp.where(is_hot[:, None], hot_vec, cold_vec)
                 patched[spec["rows_key"]] = rows
             return model.apply({"params": params}, patched, train=False)
@@ -651,17 +690,28 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         """Host copy of ``state.params`` with every hot/cold table merged
         back to its original [V, E] row order — for export/serving or
         cross-layout checkpoint interop (parallel/hot_cold.py::merge_table)."""
+        from pytorchrec_tpu.ops.sparse_update import unpack_table
         from pytorchrec_tpu.parallel.hot_cold import merge_table
 
-        if self.packed_tables:  # packed [V, W] leaves -> plain [V, E]
-            return self.unpacked_params()
-        params = jax.device_get(self.state.params)
         if not self._hot_layouts:
-            return params
+            # packed [V, W] leaves -> plain [V, E]; classic passthrough
+            return (self.unpacked_params() if self.packed_tables
+                    else jax.device_get(self.state.params))
+        params = jax.device_get(self.state.params)
         flat = dict(_flatten(params))
         for path, layout in self._hot_layouts.items():
             hot = flat.pop("hot_tables/" + path)
-            flat[path] = merge_table(hot, flat[path], layout)
+            cold = flat[path]
+            if self.packed_tables:  # unpack fragments before merging
+                e = self._table_emb_dims[path]
+                hot = unpack_table(jnp.asarray(hot), e)
+                cold = unpack_table(jnp.asarray(cold), e)
+            flat[path] = merge_table(hot, cold, layout)
+        if self.packed_tables:  # tables without a hot/cold layout
+            for path in self._table_paths:
+                if path not in self._hot_layouts:
+                    flat[path] = unpack_table(
+                        jnp.asarray(flat[path]), self._table_emb_dims[path])
         merged = _unflatten(flat)
         merged.pop("hot_tables", None)
         return merged
