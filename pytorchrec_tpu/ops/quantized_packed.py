@@ -35,7 +35,12 @@ import jax
 import jax.numpy as jnp
 
 from pytorchrec_tpu.ops.kernels.quantize import dequantize_rows, quantize_rows_xla
-from pytorchrec_tpu.ops.sparse_update import _FAST_WIDTH, segmented_sum_scan
+from pytorchrec_tpu.ops.sparse_update import (
+    _FAST_WIDTH,
+    bytes_to_f32,
+    f32_to_bytes,
+    segmented_sum_scan,
+)
 
 
 def q_row_bytes(emb_dim: int, bits: int) -> int:
@@ -55,17 +60,9 @@ def packed_q_width(emb_dim: int, bits: int, col_groups: int = 1,
     return max(min_width, -(-need // _FAST_WIDTH) * _FAST_WIDTH)
 
 
-def _f32_to_bytes(x: jnp.ndarray) -> jnp.ndarray:
-    """[..., k] f32 -> [..., 4k] uint8 (bit view, platform byte order)."""
-    b = jax.lax.bitcast_convert_type(x, jnp.uint8)  # [..., k, 4]
-    return b.reshape(*x.shape[:-1], x.shape[-1] * 4)
-
-
-def _bytes_to_f32(b: jnp.ndarray) -> jnp.ndarray:
-    """[..., 4k] uint8 -> [..., k] f32 (inverse bit view)."""
-    k = b.shape[-1] // 4
-    return jax.lax.bitcast_convert_type(
-        b.reshape(*b.shape[:-1], k, 4), jnp.float32)
+# bit-view helpers shared with the f32 byte-packed layout
+_f32_to_bytes = f32_to_bytes
+_bytes_to_f32 = bytes_to_f32
 
 
 def pack_quantized_table(q: jnp.ndarray, scale: jnp.ndarray,

@@ -128,6 +128,19 @@ PACKED_COLS = {"adam": lambda e: 3 * e, "adagrad": lambda e: 2 * e,
 _FAST_WIDTH = 64
 
 
+def f32_to_bytes(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., k] f32 -> [..., 4k] uint8 (bit view, platform byte order)."""
+    b = jax.lax.bitcast_convert_type(x, jnp.uint8)  # [..., k, 4]
+    return b.reshape(*x.shape[:-1], x.shape[-1] * 4)
+
+
+def bytes_to_f32(b: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4k] uint8 -> [..., k] f32 (inverse bit view)."""
+    k = b.shape[-1] // 4
+    return jax.lax.bitcast_convert_type(
+        b.reshape(*b.shape[:-1], k, 4), jnp.float32)
+
+
 def packed_width(emb_dim: int, optimizer: str,
                  min_width: int = _FAST_WIDTH) -> int:
     """Total packed row width: moments columns plus >= emb_dim padding
@@ -324,6 +337,112 @@ def packed_sparse_update(
                          packed.shape[0] + slot).astype(jnp.int32)
     return packed.at[safe_ids].set(
         new_packed, mode="drop", unique_indices=True)
+
+
+def packed_bytes_width(emb_dim: int, optimizer: str,
+                       min_width: int = _FAST_WIDTH) -> int:
+    """Byte-row width for the f32-exact BYTE-packed layout.
+
+    The int-dtype probe (RESULTS.md width rule, 2026-08-18) showed the
+    vectorized row emitter keys on COLUMN COUNT (>= 64), not bytes, and
+    once vectorized FEWER BYTES WIN (uint8 [852k, 128] scatter 3.7 ms vs
+    f32 [852k, 64] = 256 B 13.7 ms). Viewing the f32 fields as bytes
+    therefore removes the f32 layout's padding waste: rowwise-Adagrad at
+    E=16 needs table(64 B) + acc(4 B) + grad staging(64 B) = 132 B -> a
+    192-column uint8 row, vs the f32 layout's pad-to-64-f32-columns
+    = 256 B. Exact f32 numerics — fields are bitcast, never converted."""
+    need = 4 * PACKED_COLS[optimizer](emb_dim) + 4 * emb_dim
+    return max(min_width, -(-need // _FAST_WIDTH) * _FAST_WIDTH)
+
+
+def pack_table_bytes(table: jnp.ndarray, optimizer: str,
+                     min_width: int = _FAST_WIDTH) -> jnp.ndarray:
+    """[V, E] f32 table -> [V, W] uint8 row: bitcast table columns,
+    zero-initialized optimizer fields, grad-staging padding."""
+    v, e = table.shape
+    w = packed_bytes_width(e, optimizer, min_width)
+    cols = PACKED_COLS[optimizer](e)
+    body = f32_to_bytes(jnp.concatenate(
+        [table.astype(jnp.float32),
+         jnp.zeros((v, cols - e), jnp.float32)], axis=1))
+    return jnp.concatenate(
+        [body, jnp.zeros((v, w - body.shape[1]), jnp.uint8)], axis=1)
+
+
+def unpack_table_bytes(packed: jnp.ndarray, emb_dim: int) -> jnp.ndarray:
+    """[V, W] uint8 packed row -> the [V, emb_dim] f32 table columns."""
+    return bytes_to_f32(packed[:, :4 * emb_dim])
+
+
+def packed_sparse_update_bytes(
+    packed: jnp.ndarray,   # [V, W] uint8 rows (pack_table_bytes)
+    rows: jnp.ndarray,     # [n, W] the forward gather of packed at ids
+    ids: jnp.ndarray,      # [n] per-occurrence ids (duplicates allowed)
+    dvec: jnp.ndarray,     # [n, E] per-occurrence f32 row grads
+    step: jnp.ndarray,     # global step (1-based, adam bias correction)
+    lr: float,
+    optimizer: str = "adam",
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """``packed_sparse_update`` over BYTE rows: identical math and pass
+    structure (one combined permute, segmented-scan dedup, one sorted-unique
+    scatter-set), but every row op moves uint8 columns, which the v5e's
+    vectorized emitter handles strictly faster per byte (width rule,
+    RESULTS.md). Updates are bit-identical to the f32 packed layout: the
+    f32 fields are bitcast in and out, and the optimizer arithmetic is the
+    same ops in the same order."""
+    n, e = dvec.shape
+    w = packed.shape[1]
+    c = PACKED_COLS[optimizer](e)
+    base = 4 * c
+    assert w >= base + 4 * e, (w, base, e)
+
+    sorted_ids, order = jax.lax.sort(
+        (ids, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    staged = jnp.concatenate(
+        [rows[:, :base], f32_to_bytes(dvec),
+         jnp.zeros((n, w - base - 4 * e), jnp.uint8)], axis=1)
+    moved = staged[order]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    is_last = jnp.concatenate(
+        [sorted_ids[1:] != sorted_ids[:-1], jnp.ones((1,), bool)]
+    )
+    g = segmented_sum_scan(bytes_to_f32(moved[:, base:base + 4 * e]),
+                           is_start)
+    fields = bytes_to_f32(moved[:, :base])  # [n, c] t||moments
+    t_old = fields[:, :e]
+
+    if optimizer == "adam":
+        m_old, v_old = fields[:, e:2 * e], fields[:, 2 * e:3 * e]
+        new_m = b1 * m_old + (1.0 - b1) * g
+        new_v = b2 * v_old + (1.0 - b2) * jnp.square(g)
+        s = step.astype(jnp.float32)
+        delta = lr * (new_m / (1.0 - b1 ** s)) / (
+            jnp.sqrt(new_v / (1.0 - b2 ** s)) + eps)
+        new_fields = jnp.concatenate([t_old - delta, new_m, new_v], axis=1)
+    elif optimizer == "adagrad":
+        acc_old = fields[:, e:2 * e]
+        new_acc = acc_old + jnp.square(g)
+        delta = lr * g / (jnp.sqrt(new_acc) + 1e-10)
+        new_fields = jnp.concatenate([t_old - delta, new_acc], axis=1)
+    else:  # rowwise_adagrad
+        acc_old = fields[:, e]
+        new_acc = acc_old + jnp.mean(jnp.square(g), axis=-1)
+        delta = lr * g / (jnp.sqrt(new_acc)[:, None] + eps)
+        new_fields = jnp.concatenate(
+            [t_old - delta, new_acc[:, None]], axis=1)
+
+    out = jnp.concatenate(
+        [f32_to_bytes(new_fields),
+         jnp.zeros((n, w - base), jnp.uint8)], axis=1)
+    slot = jnp.arange(n)
+    safe_ids = jnp.where(is_last, sorted_ids,
+                         packed.shape[0] + slot).astype(jnp.int32)
+    return packed.at[safe_ids].set(out, mode="drop", unique_indices=True)
 
 
 def sparse_rowwise_adagrad(

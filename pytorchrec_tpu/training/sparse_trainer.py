@@ -31,12 +31,16 @@ import numpy as np
 from flax import traverse_util
 
 from pytorchrec_tpu.ops.sparse_update import (
+    bytes_to_f32,
     pack_table,
+    pack_table_bytes,
     packed_sparse_update,
+    packed_sparse_update_bytes,
     sparse_adagrad,
     sparse_lazy_adam,
     sparse_rowwise_adagrad,
     unpack_table,
+    unpack_table_bytes,
 )
 from pytorchrec_tpu.training.state import TrainState
 from pytorchrec_tpu.training.trainer import Trainer
@@ -73,7 +77,7 @@ class SparseEmbeddingTrainer(Trainer):
 
     def __init__(self, model, mesh=None, table_optimizer: str = "adam",
                  rows_injection: bool = None, packed_tables: bool = False,
-                 packed_min_width: int = 64):
+                 packed_min_width: int = 64, packed_bytes: bool = False):
         assert hasattr(model, "sparse_table_ids"), (
             f"{type(model).__name__} does not implement sparse_table_ids()"
         )
@@ -95,12 +99,21 @@ class SparseEmbeddingTrainer(Trainer):
         # forward gather carries the moments for free). Requires the
         # rows-injection protocol for train AND eval (the model never
         # gathers from the packed leaf itself).
+        if packed_bytes:
+            # BYTE-row variant of the packed layout: f32 fields bitcast into
+            # uint8 columns. Exact f32 numerics (bit-identical updates to
+            # packed_tables=True) at fewer bytes per row wherever the f32
+            # layout pads — e.g. rowwise_adagrad at E=16: 192 B rows vs 256
+            # (ops/sparse_update.py::packed_bytes_width; width rule in
+            # RESULTS.md — the byte emitters are also faster per byte).
+            packed_tables = True
         if packed_tables:
             assert rows_injection is not False, (
                 "packed_tables requires the rows-injection path"
             )
             self.rows_injection = True if rows_injection is None else rows_injection
         self.packed_tables = packed_tables
+        self.packed_bytes = packed_bytes
         # 64 = the vectorized-emitter threshold; 128 trades ~2x table HBM
         # for ~1.5x faster scatters (full 512-byte vector rows)
         self.packed_min_width = packed_min_width
@@ -166,9 +179,10 @@ class SparseEmbeddingTrainer(Trainer):
             # the packed width is padded to the fast-row multiple, so the
             # embedding width can't be derived back from the leaf — keep it
             self._table_emb_dims = {p: flat[p].shape[1] for p in table_paths}
+            pack = pack_table_bytes if self.packed_bytes else pack_table
             for path in table_paths:
-                flat2[path] = pack_table(flat[path], self.table_optimizer,
-                                         self.packed_min_width)
+                flat2[path] = pack(flat[path], self.table_optimizer,
+                                   self.packed_min_width)
             params = _unflatten(flat2)
             moments = {path: {} for path in table_paths}
             return SparseTrainState(
@@ -306,6 +320,9 @@ class SparseEmbeddingTrainer(Trainer):
         table_optimizer, table_lr = self.table_optimizer, self._table_lr
         dense_tx = self._dense_tx
         table_paths = self._table_paths
+        as_bytes = self.packed_bytes
+        packed_update = (packed_sparse_update_bytes if as_bytes
+                         else packed_sparse_update)
 
         def train_step(state: SparseTrainState, batch):
             step_rng = jax.random.fold_in(state.rng, state.step)
@@ -325,22 +342,42 @@ class SparseEmbeddingTrainer(Trainer):
                 # (the packed moments ride along in the fast-width row)
                 packed_rows[path] = leaf[ids]
 
-            rows_in = {p: r[:, :emb_dims[p]] for p, r in packed_rows.items()}
+            if as_bytes:
+                rows_in = {p: bytes_to_f32(r[:, :4 * emb_dims[p]])
+                           for p, r in packed_rows.items()}
+            else:
+                rows_in = {p: r[:, :emb_dims[p]]
+                           for p, r in packed_rows.items()}
 
-            def compute_loss(params, rows):
+            # differentiate only the dense sub-tree: the packed table leaves
+            # are never consumed by the model (rows are injected), and the
+            # byte layout's uint8 leaves are not differentiable at all
+            dense_flat = {k: v for k, v in flat_params.items()
+                          if k not in table_paths}
+
+            def compute_loss(dense_params, rows):
+                flat = dict(dense_params)
+                for path in table_paths:
+                    flat[path] = flat_params[path]
                 patched_batch = dict(batch)
                 for path, spec in specs.items():
                     patched_batch[spec["rows_key"]] = rows[path]
                 prediction, target = model.apply(
-                    {"params": params}, patched_batch, train=True,
+                    {"params": _unflatten(flat)}, patched_batch, train=True,
                     rngs={"dropout": step_rng},
                 )
                 return loss_fn(prediction, target)
 
-            loss, (dense_grads, row_grads) = jax.value_and_grad(
+            loss, (dense_grads_flat, row_grads) = jax.value_and_grad(
                 compute_loss, argnums=(0, 1)
-            )(state.params, rows_in)
+            )(dense_flat, rows_in)
 
+            # rebuild a full-tree grads pytree for the masked dense optimizer;
+            # masked-out (table) leaves pass through optax.masked untouched
+            dense_grads = _unflatten({
+                **dense_grads_flat,
+                **{p: jnp.zeros_like(flat_params[p]) for p in table_paths},
+            })
             updates, opt_state = dense_tx.update(
                 dense_grads, state.opt_state, state.params
             )
@@ -356,7 +393,7 @@ class SparseEmbeddingTrainer(Trainer):
 
             step = state.step + 1
             for path, ids in ids_map.items():
-                flat[path] = packed_sparse_update(
+                flat[path] = packed_update(
                     flat[path], packed_rows[path], ids, row_grads[path],
                     step, lr=table_lr, optimizer=table_optimizer,
                 )
@@ -408,6 +445,7 @@ class SparseEmbeddingTrainer(Trainer):
         model = self.model
         table_paths = self._table_paths
         emb_dims = self._table_emb_dims
+        as_bytes = self.packed_bytes
 
         def eval_step(params, batch):
             flat = _flatten(params)
@@ -417,7 +455,12 @@ class SparseEmbeddingTrainer(Trainer):
                 if path not in table_paths:
                     continue
                 ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
-                patched[spec["rows_key"]] = flat[path][ids][:, :emb_dims[path]]
+                rows = flat[path][ids]
+                if as_bytes:
+                    patched[spec["rows_key"]] = bytes_to_f32(
+                        rows[:, :4 * emb_dims[path]])
+                else:
+                    patched[spec["rows_key"]] = rows[:, :emb_dims[path]]
             return model.apply({"params": params}, patched, train=False)
 
         return self._jit_eval_step(eval_step)
@@ -430,8 +473,10 @@ class SparseEmbeddingTrainer(Trainer):
         if not self.packed_tables:
             return params
         flat = dict(_flatten(params))
+        unpack = unpack_table_bytes if self.packed_bytes else unpack_table
         for path in self._table_paths:
-            flat[path] = unpack_table(flat[path], self._table_emb_dims[path])
+            flat[path] = np.asarray(
+                unpack(jnp.asarray(flat[path]), self._table_emb_dims[path]))
         return _unflatten(flat)
 
     def make_serving_fn(self):

@@ -146,6 +146,68 @@ def test_packed_update_matches_lazy_adam_with_long_runs():
         assert out.shape[1] == w
 
 
+@pytest.mark.parametrize("optimizer", ["adam", "adagrad", "rowwise_adagrad"])
+def test_packed_bytes_update_bit_identical_to_f32_packed(optimizer):
+    """packed_sparse_update_bytes == packed_sparse_update BIT-for-bit on the
+    unpacked view: the byte layout bitcasts the same f32 fields through the
+    same op order, so there is no float divergence at all. Covers duplicate
+    runs longer than the scan's eager depth and the width accounting
+    (rowwise_adagrad at E=16 packs to 192 uint8 cols vs 256 f32 bytes)."""
+    from pytorchrec_tpu.ops.sparse_update import (
+        PACKED_COLS,
+        pack_table,
+        pack_table_bytes,
+        packed_bytes_width,
+        packed_sparse_update,
+        packed_sparse_update_bytes,
+        unpack_table,
+        unpack_table_bytes,
+    )
+
+    rng = np.random.default_rng(7)
+    V, E = 300, 16
+    table = jnp.asarray(rng.normal(size=(V, E)), jnp.float32)
+    step = jnp.asarray(4, jnp.int32)
+    c = PACKED_COLS[optimizer](E)
+
+    # byte width drops the f32 layout's padding waste for rowwise_adagrad
+    assert packed_bytes_width(E, optimizer) == {"adam": 256, "adagrad": 192,
+                                                "rowwise_adagrad": 192}[optimizer]
+
+    for ids_np in (
+        np.concatenate([np.full(40, 7), rng.integers(0, V, size=88)]),
+        rng.integers(0, V, size=64),
+    ):
+        ids = jnp.asarray(ids_np.astype(np.int32))
+        n = ids.shape[0]
+        dvec = jnp.asarray(rng.normal(size=(n, E)), jnp.float32)
+
+        # seed both layouts with the SAME nonzero optimizer state
+        state_cols = jnp.asarray(
+            np.abs(rng.normal(size=(V, c - E))) * 0.1, jnp.float32)
+        pk = pack_table(table, optimizer)
+        pk = pk.at[:, E:c].set(state_cols)
+        from pytorchrec_tpu.ops.sparse_update import f32_to_bytes
+
+        pb = pack_table_bytes(table, optimizer)
+        pb = pb.at[:, 4 * E:4 * c].set(f32_to_bytes(state_cols))
+
+        out_f32 = packed_sparse_update(pk, pk[ids], ids, dvec, step, lr=0.01,
+                                       optimizer=optimizer)
+        out_b = packed_sparse_update_bytes(pb, pb[ids], ids, dvec, step,
+                                           lr=0.01, optimizer=optimizer)
+
+        np.testing.assert_array_equal(
+            np.asarray(unpack_table_bytes(out_b, E)),
+            np.asarray(unpack_table(out_f32, E)))
+        # optimizer fields bit-identical too
+        from pytorchrec_tpu.ops.sparse_update import bytes_to_f32
+
+        np.testing.assert_array_equal(
+            np.asarray(bytes_to_f32(out_b[:, :4 * c])[:, E:]),
+            np.asarray(out_f32[:, E:c]))
+
+
 @pytest.fixture(scope="module")
 def dataset_dir(tmp_path_factory):
     from pytorchrec_tpu.data.process.datasets.synthetic import generate_synthetic_ml
@@ -502,6 +564,64 @@ def test_packed_tables_match_unpacked(dataset_dir, table_optimizer):
     s_plain = np.asarray(plain.make_serving_fn()(batch))
     s_pk = np.asarray(pk.make_serving_fn()(batch))
     np.testing.assert_allclose(s_plain, s_pk, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("table_optimizer", ["adam", "rowwise_adagrad"])
+def test_packed_bytes_trainer_bit_identical(dataset_dir, table_optimizer):
+    """SparseEmbeddingTrainer(packed_bytes=True) reproduces the f32 packed
+    layout BIT-for-bit end-to-end (fit + eval + serving): the byte rows are
+    a pure bit view of the same fields, so even adam's sqrt/div chain can't
+    diverge. Also checks the byte leaves really are uint8 and narrower than
+    the f32 layout for rowwise_adagrad."""
+    from pytorchrec_tpu.ops.sparse_update import unpack_table
+    from pytorchrec_tpu.tasks import build_model
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+
+    def run(as_bytes):
+        reader = _reader()
+        model = build_model("fm", reader, emb_size=8, unified_embedding=True)
+        t = SparseEmbeddingTrainer(model, table_optimizer=table_optimizer,
+                                   packed_tables=True, packed_bytes=as_bytes)
+        t.compile(optimizer="adam", lr=0.05, loss="bce", metrics=("hit@5",),
+                  user_sample_n=10)
+        t.fit(reader, batch_size=32, epochs=2, verbose=0, eval_dev=False,
+              seed=11)
+        metrics = t.evaluate(reader, split="dev", batch_size=32)
+        return t, reader, metrics
+
+    f32, _, m_f32 = run(False)
+    byt, reader, m_byt = run(True)
+
+    flat_f32 = {"/".join(str(getattr(k, "key", k)) for k in path): leaf
+                for path, leaf in
+                jax.tree_util.tree_flatten_with_path(f32.state.params)[0]}
+    flat_byt = {"/".join(str(getattr(k, "key", k)) for k in path): leaf
+                for path, leaf in
+                jax.tree_util.tree_flatten_with_path(byt.state.params)[0]}
+    for path in flat_f32:
+        a, b = flat_f32[path], flat_byt[path]
+        if path in byt._table_paths:
+            e = byt._table_emb_dims[path]
+            assert b.dtype == jnp.uint8
+            assert b.shape[1] <= 4 * a.shape[1]
+            if table_optimizer == "rowwise_adagrad":
+                assert b.shape[1] < 4 * a.shape[1]  # padding waste removed
+            from pytorchrec_tpu.ops.sparse_update import unpack_table_bytes
+
+            np.testing.assert_array_equal(
+                np.asarray(unpack_table_bytes(b, e)),
+                np.asarray(unpack_table(a, e)), err_msg=path)
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=path)
+
+    for key in m_f32:
+        assert float(m_f32[key]) == float(m_byt[key]), key
+
+    batch = reader.get_batch("train", np.arange(4))
+    np.testing.assert_array_equal(
+        np.asarray(f32.make_serving_fn()(batch)),
+        np.asarray(byt.make_serving_fn()(batch)))
 
 
 def test_rows_injection_auto_resolution(dataset_dir):
