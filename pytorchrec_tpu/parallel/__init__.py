@@ -17,6 +17,7 @@ from pytorchrec_tpu.parallel.embedding_engine import (
     bucket_capacity,
     grid_lookup,
     grid_rowgrad,
+    two_hop_rowgrad,
     make_sharded_lookup,
     masked_psum_lookup,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "bucket_capacity",
     "grid_lookup",
     "grid_rowgrad",
+    "two_hop_rowgrad",
     "make_sharded_lookup",
 ]
 

@@ -90,8 +90,13 @@ class _Routing(NamedTuple):
 
 
 def _route_by_owner(ids: jnp.ndarray, rows_per_shard: int, m: int) -> _Routing:
-    (b,) = ids.shape
     owner = jnp.clip(ids // rows_per_shard, 0, m - 1)  # [b]
+    return _route_owners(owner, m)
+
+
+def _route_owners(owner: jnp.ndarray, m: int) -> _Routing:
+    """Routing plan from a precomputed per-entry destination vector [b]."""
+    (b,) = owner.shape
     order = jnp.argsort(owner, stable=True)
     sorted_owner = owner[order]
     one_hot = sorted_owner[:, None] == jnp.arange(m)[None, :]  # [b, m]
@@ -211,11 +216,19 @@ def _exchange_rowgrads(my_ids: jnp.ndarray, my_grads: jnp.ndarray,
     capacity = _resolve_capacity(capacity, k, n_shards)
     c = k if capacity is None else min(capacity, k)
     sentinel = jnp.asarray(n_shards * rows_per_shard, my_ids.dtype)
-    r = _route_by_owner(my_ids, rows_per_shard, n_shards)
+    # sentinel entries route to a VIRTUAL bucket (owner n_shards, dropped by
+    # the OOB scatter) so they neither consume real bucket positions nor
+    # count as overflow: callers like two_hop_rowgrad pass vectors where
+    # most slots are sentinel padding, which would otherwise flood the last
+    # destination's bucket
+    owner = jnp.clip(my_ids // rows_per_shard, 0, n_shards - 1)
+    owner = jnp.where(my_ids < sentinel, owner, n_shards)
+    r = _route_owners(owner, n_shards + 1)
     sorted_ids = my_ids[r.order]
     sorted_grads = my_grads[r.order]
-    fits = r.pos_in_bucket < c
-    pos = jnp.where(fits, r.pos_in_bucket, c)  # overflow -> dropped
+    valid = r.sorted_owner < n_shards
+    fits = (r.pos_in_bucket < c) & valid
+    pos = jnp.where(fits, r.pos_in_bucket, c)  # overflow/sentinel -> dropped
 
     send_ids = jnp.full((n_shards, c), sentinel, dtype=my_ids.dtype)
     send_ids = send_ids.at[r.sorted_owner, pos].set(
@@ -233,9 +246,10 @@ def _exchange_rowgrads(my_ids: jnp.ndarray, my_grads: jnp.ndarray,
     if capacity is None or c == k:
         return out_ids, out_grads
 
-    # exact overflow appendix (rare; see bucket_capacity)
+    # exact overflow appendix (rare; see bucket_capacity) — sentinel
+    # entries are not overflow, they are dropped by design
     any_over = jax.lax.psum(
-        jnp.sum((~fits).astype(jnp.int32)), axis_name) > 0
+        jnp.sum(((~fits) & valid).astype(jnp.int32)), axis_name) > 0
     ov_ids = jnp.where(fits, sentinel, sorted_ids)
     ov_grads = jnp.where(fits[:, None], 0.0, sorted_grads)
     me = jax.lax.axis_index(axis_name)
@@ -375,6 +389,104 @@ def grid_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
     my_grads = jax.lax.dynamic_slice_in_dim(row_grads, mi * k, k)
     return _exchange_rowgrads(my_ids, my_grads, rows_per_shard, axes,
                               capacity=capacity)
+
+
+def two_hop_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
+                    rows_per_shard: int,
+                    axes: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS),
+                    capacity2: Optional[int] = None,
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hierarchical 2-hop row-grad exchange for the (data x model) grid
+    layout — FUTURE #1's remaining lead.
+
+    Same contract as ``grid_rowgrad`` (this data shard's occurrence list in,
+    sentinel-padded owner-local (ids, grads) out), but routed in two hops
+    matched to the pod's physical hierarchy, where the ``model`` axis rides
+    fast intra-host ICI and the ``data`` axis rides slow inter-host DCN:
+
+    1. **fast hop (ICI)**: each entry goes to the local device whose fast
+       coordinate equals the final owner's (``owner % m``) — an all_to_all
+       that never leaves the host group;
+    2. **combine**: the hop-1 landing zone now holds every occurrence of an
+       id this fast lane will forward, from the WHOLE fast group — duplicate
+       ids are segment-summed here, BEFORE the expensive hop (one summed
+       grad row crosses DCN instead of one per occurrence);
+    3. **slow hop (DCN)**: an all_to_all over the data axis routes the
+       combined entries to the owner's group; arrival lane is preserved, so
+       every non-sentinel entry lands exactly on its owner device.
+
+    vs the flat ``grid_rowgrad`` all_to_all over ``d*m`` devices: DCN
+    messages shrink from ``(d-1)*m`` per device to ``d-1`` (m-fold
+    aggregation — DCN is latency-dominated at rec-model message sizes), and
+    intra-group duplicate ids (hot fields, small vocabs, Zipf tails that
+    escape the hot/cold fragment) cross DCN once instead of once per
+    occurrence. ``scripts/two_hop_traffic.py`` quantifies both effects.
+
+    ``capacity2``: per-destination bucket size for the slow hop (int =
+    absolute, float = factor over the uniform expectation); stays EXACT via
+    the same psum-guarded all_gather appendix as ``_exchange_rowgrads``.
+    The fast hop uses the worst-case bucket (= the chunk size k), which
+    costs nothing across DCN.
+    """
+    slow_axis, fast_axis = axes
+    m = jax.lax.axis_size(fast_axis)
+    d = jax.lax.axis_size(slow_axis)
+    (n,) = ids.shape
+    sentinel = jnp.asarray(d * m * rows_per_shard, ids.dtype)
+    pad = (-n) % m
+    if pad:
+        ids = jnp.concatenate([ids, jnp.full((pad,), sentinel, ids.dtype)])
+        row_grads = jnp.concatenate(
+            [row_grads, jnp.zeros((pad, row_grads.shape[-1]), row_grads.dtype)]
+        )
+    k = ids.shape[0] // m
+    mi = jax.lax.axis_index(fast_axis)
+    my_ids = jax.lax.dynamic_slice_in_dim(ids, mi * k, k)
+    my_grads = jax.lax.dynamic_slice_in_dim(row_grads, mi * k, k)
+
+    # hop 1 (fast axis): bucket by the final owner's fast coordinate.
+    # Worst-case capacity k => exact by construction (a bucket can at most
+    # hold the whole chunk).
+    owner = jnp.clip(my_ids // rows_per_shard, 0, d * m - 1)
+    lane = owner % m
+    r = _route_owners(lane, m)
+    send_ids = jnp.full((m, k), sentinel, dtype=my_ids.dtype)
+    send_ids = send_ids.at[r.sorted_owner, r.pos_in_bucket].set(
+        my_ids[r.order], mode="drop")
+    send_grads = jnp.zeros((m, k, my_grads.shape[-1]), my_grads.dtype)
+    send_grads = send_grads.at[r.sorted_owner, r.pos_in_bucket].set(
+        my_grads[r.order], mode="drop")
+    recv_ids = jax.lax.all_to_all(send_ids, fast_axis, split_axis=0,
+                                  concat_axis=0, tiled=False)
+    recv_grads = jax.lax.all_to_all(send_grads, fast_axis, split_axis=0,
+                                    concat_axis=0, tiled=False)
+    ids1 = recv_ids.reshape(m * k)
+    grads1 = recv_grads.reshape(m * k, -1)
+
+    # combine duplicates before crossing the slow axis: sort by id,
+    # segment-sum the grads, keep each segment's total at its LAST slot,
+    # sentinel out the rest (sentinel padding sorts to the end and its
+    # zero-grad sum lands on a sentinel slot — dropped downstream)
+    from pytorchrec_tpu.ops.sparse_update import segmented_sum_scan
+
+    sorted_ids1, order1 = jax.lax.sort(
+        (ids1, jnp.arange(m * k, dtype=jnp.int32)), num_keys=1)
+    g_sorted = grads1[order1]
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids1[1:] != sorted_ids1[:-1]])
+    is_last = jnp.concatenate(
+        [sorted_ids1[1:] != sorted_ids1[:-1], jnp.ones((1,), bool)])
+    g_total = segmented_sum_scan(g_sorted, is_start)
+    keep = is_last & (sorted_ids1 < sentinel)
+    ids2 = jnp.where(keep, sorted_ids1, sentinel)
+    grads2 = jnp.where(keep[:, None], g_total, 0.0)
+
+    # hop 2 (slow axis): group-granular routing — the owner's group owns the
+    # contiguous row range [g*m*rps, (g+1)*m*rps), so the 1-D exchange with
+    # rows_per_shard*m routes by group; arrival lane == mi by hop-1
+    # invariant, so arrivals are owned by THIS device exactly.
+    return _exchange_rowgrads(ids2, grads2, rows_per_shard * m, slow_axis,
+                              capacity=capacity2)
 
 
 def make_sharded_lookup(mesh: Mesh, strategy: str = "psum"):

@@ -57,6 +57,7 @@ from pytorchrec_tpu.parallel.embedding_engine import (
     all_to_all_rowgrad,
     grid_lookup,
     grid_rowgrad,
+    two_hop_rowgrad,
 )
 from pytorchrec_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from pytorchrec_tpu.training.sparse_trainer import (
@@ -103,7 +104,8 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                  grad_compression_min_size: int | None = None,
                  hot_counts=None, hot_rows=0.9,
                  exchange_capacity: float | int | None = None,
-                 packed_tables: bool = False, packed_min_width: int = 64):
+                 packed_tables: bool = False, packed_min_width: int = 64,
+                 two_hop: bool = False):
         assert mesh is not None, "ShardedSparseEmbeddingTrainer requires a mesh"
         assert strategy in ("1d", "grid", "hot_cold"), strategy
         # packed fast-width rows (FUTURE 5b propagation): each table SHARD
@@ -135,6 +137,13 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         # hashed/admitted id streams), int = absolute bucket size, None =
         # exact worst case. Exactness is kept either way (overflow fallback).
         self.exchange_capacity = exchange_capacity
+        # hierarchical 2-hop row-grad exchange (grid strategy only): route
+        # over the fast/model axis first, combine duplicate ids inside the
+        # fast group, then cross the slow/data axis — m-fold fewer DCN
+        # messages and deduped DCN payload (embedding_engine.two_hop_rowgrad)
+        assert not two_hop or strategy == "grid", (
+            "two_hop applies to the grid strategy only")
+        self.two_hop = two_hop
         # hot/cold sizing: {spec_name: counts [V]} + replica budget
         # (int = top-K rows, float in (0,1) = traffic-mass fraction a la
         # data/vocab.py::FrequencyVocab.hot_rows)
@@ -321,6 +330,14 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         compress = self.grad_compression == "int8"
         table_axes = (DATA_AXIS, MODEL_AXIS)
         cap = self.exchange_capacity
+        if grid and self.two_hop:
+            def grid_exchange(ids, grads, rows_per_shard):
+                return two_hop_rowgrad(ids, grads, rows_per_shard,
+                                       table_axes, capacity2=cap)
+        else:
+            def grid_exchange(ids, grads, rows_per_shard):
+                return grid_rowgrad(ids, grads, rows_per_shard, table_axes,
+                                    capacity=cap)
         hot_layouts = dict(self._hot_layouts)
         # layout perms are static (fixed at init): closed over as constants
         hot_perms = {p: jnp.asarray(lo.perm) for p, lo in hot_layouts.items()}
@@ -521,9 +538,8 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                     # data-axis gather payload is identical)
                     g_occ = row_grads[name] * inv_data
                     if grid:
-                        a_ids, a_rows = grid_rowgrad(
-                            ids_map[name], g_occ, rows_per_shard, table_axes,
-                            capacity=cap)
+                        a_ids, a_rows = grid_exchange(
+                            ids_map[name], g_occ, rows_per_shard)
                         offset = (jax.lax.axis_index(table_axes)
                                   * rows_per_shard)
                     else:
@@ -550,9 +566,9 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                 if grid:
                     # every received row is owned HERE (unique grid owner):
                     # dedup + apply locally, no data-axis gather at all
-                    r_ids, r_rows = grid_rowgrad(
+                    r_ids, r_rows = grid_exchange(
                         ids_map[name], row_grads[name] * inv_data,
-                        rows_per_shard, table_axes, capacity=cap,
+                        rows_per_shard,
                     )
                     g = dedup_row_grads(r_ids, r_rows)
                     all_ids, all_rows = g.ids, g.rows

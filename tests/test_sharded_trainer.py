@@ -286,6 +286,54 @@ def _tree_allclose(a, b, rtol=1e-3, atol=1e-5):
                                    rtol=rtol, atol=atol)
 
 
+@pytest.mark.parametrize("capacity2", [None, 4, 1.5])
+def test_two_hop_rowgrad_matches_dense(capacity2):
+    """Hierarchical 2-hop row-grad exchange == the flat grid exchange: every
+    grad lands on its unique grid owner and the received sums reproduce the
+    dense scatter-add — with duplicate-heavy (Zipf-ish) ids, so the
+    intra-fast-group combine actually fires, and under a bounded slow-hop
+    capacity (int and factor forms, incl. one small enough to force the
+    overflow appendix)."""
+    from pytorchrec_tpu.parallel import two_hop_rowgrad
+
+    mesh = make_mesh(data=4, model=2)
+    V, E, B = 64, 4, 48
+    rng = np.random.default_rng(5)
+    # duplicate-heavy stream: half the ids from a 6-row hot set
+    hot = rng.integers(0, 6, size=B // 2)
+    ids = np.concatenate([hot, rng.integers(0, V, size=B - B // 2)])
+    ids = rng.permutation(ids).astype(np.int32)
+    grads = rng.normal(size=(B, E)).astype(np.float32)
+    rows_per_dev = V // 8
+    AX = (DATA_AXIS, MODEL_AXIS)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(PartitionSpec(DATA_AXIS), PartitionSpec(DATA_AXIS, None)),
+        out_specs=(PartitionSpec(AX), PartitionSpec(AX, None)),
+        check_vma=False,
+    )
+    def body(ids_local, grads_local):
+        return two_hop_rowgrad(ids_local, grads_local, rows_per_dev, AX,
+                               capacity2=capacity2)
+
+    r_ids, r_rows = body(jnp.asarray(ids), jnp.asarray(grads))
+    r_ids, r_rows = np.asarray(r_ids), np.asarray(r_rows)
+
+    dense = np.zeros((V, E), np.float32)
+    for i, g in zip(ids, grads):
+        dense[i] += g
+    received = np.zeros((V, E), np.float32)
+    per_dev = len(r_ids) // 8
+    for j, (rid, row) in enumerate(zip(r_ids, r_rows)):
+        if rid >= V:
+            assert np.all(row == 0.0)
+            continue
+        assert rid // rows_per_dev == j // per_dev  # owned by receiver
+        received[rid] += row
+    np.testing.assert_allclose(received, dense, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("table_optimizer,strategy", [
     ("adam", "1d"), ("adam", "grid"), ("adagrad", "1d"), ("adagrad", "grid"),
     ("rowwise_adagrad", "1d"), ("rowwise_adagrad", "grid"),
@@ -345,6 +393,45 @@ def test_funksvd_fit_matches_single_device(ranking_reader, table_optimizer,
         )
 
     # eval on the mesh agrees with single-device eval
+    e_single = single.evaluate(ranking_reader, split="dev", batch_size=32)
+    e_sharded = sharded.evaluate(ranking_reader, split="dev", batch_size=32)
+    assert e_single["hit@5"] == pytest.approx(e_sharded["hit@5"], abs=1e-6)
+
+
+@pytest.mark.parametrize("capacity", [None, 2.0])
+def test_grid_two_hop_fit_matches_single_device(ranking_reader, capacity):
+    """fit() through the hierarchical 2-hop exchange (strategy='grid',
+    two_hop=True) matches single-device training — with and without a
+    bounded slow-hop capacity."""
+    from pytorchrec_tpu.models import FunkSVD
+    from pytorchrec_tpu.training import (
+        ShardedSparseEmbeddingTrainer,
+        SparseEmbeddingTrainer,
+    )
+    from pytorchrec_tpu.utils import constants as C
+
+    cols = ranking_reader.get_feature_column_dict()
+
+    def run(mesh):
+        model = FunkSVD(uid_column=cols[C.UID], iid_column=cols[C.IID],
+                        label_column=cols[C.LABEL], emb_size=8,
+                        table_row_multiple=8)
+        if mesh is None:
+            tr = SparseEmbeddingTrainer(model)
+        else:
+            tr = ShardedSparseEmbeddingTrainer(
+                model, mesh=mesh, strategy="grid", two_hop=True,
+                exchange_capacity=capacity)
+        tr.compile(optimizer="adam", lr=0.01, loss="bce",
+                   metrics=("hit@5",), user_sample_n=10)
+        tr.fit(ranking_reader, batch_size=32, epochs=2, verbose=0,
+               eval_dev=False, seed=7)
+        return tr
+
+    single = run(None)
+    sharded = run(make_mesh(data=4, model=2))
+    _tree_allclose(single.state.params, sharded.state.params)
+    _tree_allclose(single.state.table_moments, sharded.state.table_moments)
     e_single = single.evaluate(ranking_reader, split="dev", batch_size=32)
     e_sharded = sharded.evaluate(ranking_reader, split="dev", batch_size=32)
     assert e_single["hit@5"] == pytest.approx(e_sharded["hit@5"], abs=1e-6)
