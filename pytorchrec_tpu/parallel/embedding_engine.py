@@ -423,10 +423,19 @@ def two_hop_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
     occurrence. ``scripts/two_hop_traffic.py`` quantifies both effects.
 
     ``capacity2``: per-destination bucket size for the slow hop (int =
-    absolute, float = factor over the uniform expectation); stays EXACT via
-    the same psum-guarded all_gather appendix as ``_exchange_rowgrads``.
-    The fast hop uses the worst-case bucket (= the chunk size k), which
-    costs nothing across DCN.
+    absolute, float = factor over the uniform expectation of REAL entries
+    per slow-hop bucket, ``k/d`` — see below); stays EXACT via the same
+    psum-guarded all_gather appendix as ``_exchange_rowgrads``. The fast
+    hop uses the worst-case bucket (= the chunk size k), which costs
+    nothing across DCN.
+
+    Float-capacity resolution (ADVICE r2): the hop-2 vector is ``m*k``
+    SLOTS long but carries only ~``k`` real entries — each lane lands m
+    buckets whose expected fill is ``k/m`` (the rest is sentinel padding
+    that routes to the virtual bucket and occupies no real slot). A float
+    factor must therefore resolve against ``k/d`` per destination, not the
+    ``m*k/d`` the inner exchange would compute from its input length —
+    that would over-provision (and ship across DCN) ``m``-fold.
     """
     slow_axis, fast_axis = axes
     m = jax.lax.axis_size(fast_axis)
@@ -485,6 +494,10 @@ def two_hop_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
     # contiguous row range [g*m*rps, (g+1)*m*rps), so the 1-D exchange with
     # rows_per_shard*m routes by group; arrival lane == mi by hop-1
     # invariant, so arrivals are owned by THIS device exactly.
+    if isinstance(capacity2, float):
+        # resolve against the real-entry expectation k/d (docstring above),
+        # NOT the m*k slot count the inner resolver would use
+        capacity2 = _resolve_capacity(capacity2, k, d)
     return _exchange_rowgrads(ids2, grads2, rows_per_shard * m, slow_axis,
                               capacity=capacity2)
 

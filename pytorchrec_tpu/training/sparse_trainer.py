@@ -106,6 +106,15 @@ class SparseEmbeddingTrainer(Trainer):
             # layout pads — e.g. rowwise_adagrad at E=16: 192 B rows vs 256
             # (ops/sparse_update.py::packed_bytes_width; width rule in
             # RESULTS.md — the byte emitters are also faster per byte).
+            #
+            # UNIT CHANGE (ADVICE r2): packed_min_width counts COLUMNS OF THE
+            # LEAF DTYPE, so here it means uint8 columns = BYTES (64 -> 64 B
+            # rows), whereas the f32 layout reads it as f32 columns (64 ->
+            # 256 B rows). That is deliberate — the vectorized-emitter rule
+            # is columns-not-bytes (RESULTS.md int-dtype probe), and once
+            # vectorized fewer bytes win, so the byte layout should NOT be
+            # inflated to f32-equivalent byte width. Callers tuning for a
+            # byte-row target must pass the byte count directly.
             packed_tables = True
         if packed_tables:
             assert rows_injection is not False, (
@@ -114,8 +123,12 @@ class SparseEmbeddingTrainer(Trainer):
             self.rows_injection = True if rows_injection is None else rows_injection
         self.packed_tables = packed_tables
         self.packed_bytes = packed_bytes
-        # 64 = the vectorized-emitter threshold; 128 trades ~2x table HBM
-        # for ~1.5x faster scatters (full 512-byte vector rows)
+        # packed_min_width is in COLUMNS of the packed leaf's dtype: f32
+        # columns for packed_tables (64 -> 256 B rows; 128 -> full 512 B
+        # vector rows, ~2x table HBM for ~1.5x faster scatters), uint8
+        # columns = bytes for packed_bytes (64 -> 64 B rows). 64 = the
+        # vectorized-emitter threshold in either dtype (columns, not bytes —
+        # RESULTS.md width rule; unit note at the packed_bytes branch above).
         self.packed_min_width = packed_min_width
         self._table_lr = None
 

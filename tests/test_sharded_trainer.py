@@ -334,6 +334,53 @@ def test_two_hop_rowgrad_matches_dense(capacity2):
     np.testing.assert_allclose(received, dense, rtol=1e-5, atol=1e-6)
 
 
+def test_two_hop_float_capacity_resolves_per_real_entries():
+    """A FLOAT capacity2 sizes the slow-hop bucket from the REAL-entry
+    expectation k/d — not the m*k slot count of the hop-2 vector, which
+    would over-provision (and ship across DCN) m-fold (ADVICE r2). Observed
+    through the exchange's output length: d*c + d*(m*k) when bounded."""
+    from pytorchrec_tpu.parallel import two_hop_rowgrad
+
+    mesh = make_mesh(data=4, model=2)
+    d, m = 4, 2
+    V, E, B = 64, 4, 48
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, V, size=B).astype(np.int32)
+    grads = rng.normal(size=(B, E)).astype(np.float32)
+    rows_per_dev = V // 8
+    AX = (DATA_AXIS, MODEL_AXIS)
+    factor = 1.5
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(PartitionSpec(DATA_AXIS), PartitionSpec(DATA_AXIS, None)),
+        out_specs=(PartitionSpec(AX), PartitionSpec(AX, None)),
+        check_vma=False,
+    )
+    def body(ids_local, grads_local):
+        return two_hop_rowgrad(ids_local, grads_local, rows_per_dev, AX,
+                               capacity2=factor)
+
+    r_ids, r_rows = body(jnp.asarray(ids), jnp.asarray(grads))
+    n_local = B // d          # ids per device before the fast hop
+    k = -(-n_local // m) if n_local % m else n_local // m  # padded chunk
+    c = max(1, min(int(np.ceil(k / d * factor)), k))  # k/d-based bucket
+    per_dev = d * c + d * (m * k)  # bounded buckets + overflow appendix
+    assert r_ids.shape[0] == 8 * per_dev, (
+        f"expected k/d-based capacity {c} (len {8 * per_dev}), "
+        f"got len {r_ids.shape[0]}"
+    )
+    # and the exchange stays exact under the tight bucket
+    dense = np.zeros((V, E), np.float32)
+    for i, g in zip(ids, grads):
+        dense[i] += g
+    received = np.zeros((V, E), np.float32)
+    for rid, row in zip(np.asarray(r_ids), np.asarray(r_rows)):
+        if rid < V:
+            received[rid] += row
+    np.testing.assert_allclose(received, dense, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("table_optimizer,strategy", [
     ("adam", "1d"), ("adam", "grid"), ("adagrad", "1d"), ("adagrad", "grid"),
     ("rowwise_adagrad", "1d"), ("rowwise_adagrad", "grid"),
