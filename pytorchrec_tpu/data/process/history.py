@@ -22,7 +22,7 @@ from typing import List
 
 import numpy as np
 
-from pytorchrec_tpu.data.process.io import dataset_path, read_interactions
+from pytorchrec_tpu.data.process.io import dataset_path, read_interactions, save_index_array
 from pytorchrec_tpu.utils import constants as C
 
 logger = logging.getLogger(__name__)
@@ -115,11 +115,11 @@ def _generate(dataset_name: str, k: int, inclusive: bool, out_dir_name: str,
     labels = df[C.LABEL].to_numpy()
 
     pos = history_matrix(uids, iids, labels > 0, k, inclusive)
-    np.save(os.path.join(out_dir, pos_template % k), pos)
+    save_index_array(out_dir, pos_template % k, pos)
 
     if (labels == 0).any():
         neg = history_matrix(uids, iids, labels <= 0, k, inclusive)
-        np.save(os.path.join(out_dir, neg_template % k), neg)
+        save_index_array(out_dir, neg_template % k, neg)
     logger.info("%s arrays (k=%d) for %s rows", out_dir_name, k, len(df))
 
 

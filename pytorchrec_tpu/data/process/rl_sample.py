@@ -17,7 +17,7 @@ from typing import Dict, List
 import numpy as np
 
 from pytorchrec_tpu.data.process.history import pad_or_cut_array
-from pytorchrec_tpu.data.process.io import dataset_path, read_interactions
+from pytorchrec_tpu.data.process.io import dataset_path, read_interactions, save_index_array
 from pytorchrec_tpu.utils import constants as C
 
 logger = logging.getLogger(__name__)
@@ -61,7 +61,8 @@ def generate_rl_next_item_sample(dataset_name: str, sample_len: int) -> None:
 
     rl_sample_array = np.vstack(rows)[inv_order]
     assert rl_sample_array.dtype == np.int32, rl_sample_array.dtype
-    np.save(os.path.join(rl_sample_dir, C.RL_SAMPLE_NPY_TEMPLATE % sample_len), rl_sample_array)
+    save_index_array(rl_sample_dir, C.RL_SAMPLE_NPY_TEMPLATE % sample_len,
+                     rl_sample_array)
     logger.info("rl sample arrays (len=%d) for %d rows", sample_len, len(df))
 
 

@@ -25,7 +25,7 @@ from typing import Dict, List, Set
 import numpy as np
 from numpy.random import default_rng
 
-from pytorchrec_tpu.data.process.io import dataset_path, read_interactions
+from pytorchrec_tpu.data.process.io import dataset_path, read_interactions, save_index_array
 from pytorchrec_tpu.utils import constants as C
 
 logger = logging.getLogger(__name__)
@@ -124,8 +124,10 @@ def generate_vt_negative_sample(seed: int, dataset_name: str, sample_n: int,
     test_array = np.vstack(test_rows)
     assert dev_array.dtype == np.int32 and test_array.dtype == np.int32
 
-    np.save(os.path.join(neg_sample_dir, C.DEV_NEG_NPY_TEMPLATE % (seed, sample_n)), dev_array)
-    np.save(os.path.join(neg_sample_dir, C.TEST_NEG_NPY_TEMPLATE % (seed, sample_n)), test_array)
+    save_index_array(neg_sample_dir, C.DEV_NEG_NPY_TEMPLATE % (seed, sample_n),
+                     dev_array)
+    save_index_array(neg_sample_dir, C.TEST_NEG_NPY_TEMPLATE % (seed, sample_n),
+                     test_array)
     logger.info("vt negative sample: %s users x %s", dev_array.shape[0], sample_n)
 
 

@@ -239,6 +239,10 @@ def _run_reference_seqsplit(model_name: str, seed: int):
         loss=MSELoss(), metrics=[NDCG(1 + NEG_N, 10)],
         device=torch.device("cpu"),
     )
+    # reference predict() is dead code: it calls self.evaluate_step, a
+    # method that exists nowhere (IModel.py:300; predict_step is the
+    # intended body, IModel.py:265-270) — alias it so predict() runs
+    model.evaluate_step = model.predict_step
     # best-dev-epoch selection to mirror our ModelCheckpoint(monitor=mse,
     # mode=min): one fit() call per epoch, dev MSE via predict, keep the
     # best state_dict, restore before the test pass
@@ -290,14 +294,15 @@ def main():
         results[model_name] = {"ours": [run_ours(model_name, seed) for seed in SEEDS]}
 
     _patch_reference_paths(work_dir)
-    for model_name in models:
-        results[model_name]["ref"] = [run_reference(model_name, seed) for seed in SEEDS]
 
     def stats(rows, i):
         vals = np.asarray([r[i] for r in rows])
         return f"{vals.mean():.4f}±{vals.std():.4f}"
 
+    # per-model verdicts print as soon as the reference side finishes, so a
+    # late failure can't swallow earlier results
     for model_name in models:
+        results[model_name]["ref"] = [run_reference(model_name, seed) for seed in SEEDS]
         ours, theirs = results[model_name]["ours"], results[model_name]["ref"]
         a, b = (("mse", "mse") if model_name.endswith("-seqsplit")
                 else ("ndcg@10", "hit@10"))
@@ -306,7 +311,8 @@ def main():
         diff = abs(np.mean([r[0] for r in ours]) - np.mean([r[0] for r in theirs]))
         spread = max(np.std([r[0] for r in ours]), np.std([r[0] for r in theirs]))
         print(f"[{model_name}] {a} mean diff {diff:.4f} vs seed spread {spread:.4f} "
-              f"-> {'PARITY' if diff <= max(2 * spread, 0.01) else 'DIVERGENT'}")
+              f"-> {'PARITY' if diff <= max(2 * spread, 0.01) else 'DIVERGENT'}",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,19 @@ def dual_dirs(work_dir, monkeypatch, tmp_path):
     return ours, ref_root
 
 
+
+def _assert_csv_twin_matches(our_dir, ref_dir, npy_name):
+    """The human-readable CSV twin is byte-identical to the reference's
+    np.savetxt output (SEP-delimited ints; e.g. interaction_history_list.py:84,
+    vt_negative_sample.py:115-121, rl_next_item_sample.py:58)."""
+    csv = npy_name[: -len(".npy")] + ".csv"
+    with open(os.path.join(our_dir, csv), "rb") as fh:
+        got = fh.read()
+    with open(os.path.join(ref_dir, csv), "rb") as fh:
+        want = fh.read()
+    assert got == want, csv
+
+
 class TestSplitParity:
     def test_sequential_split(self, dual_dirs, monkeypatch):
         ours, ref_root = dual_dirs
@@ -100,6 +113,10 @@ class TestNegSampleParity:
             got = np.load(os.path.join(ours, C.NEGATIVE_SAMPLE_DIR, template % (11, 20)))
             want = np.load(os.path.join(ref_root, "Dataset", DATASET, "NEGATIVE_SAMPLE", template % (11, 20)))
             np.testing.assert_array_equal(got, want)
+            _assert_csv_twin_matches(
+                os.path.join(ours, C.NEGATIVE_SAMPLE_DIR),
+                os.path.join(ref_root, "Dataset", DATASET, "NEGATIVE_SAMPLE"),
+                template % (11, 20))
 
     def test_fast_mode_valid(self, dual_dirs):
         ours, _ = dual_dirs
@@ -132,6 +149,10 @@ class TestHistoryParity:
             got = np.load(os.path.join(ours, C.HISTORY_DIR, template % 8))
             want = np.load(os.path.join(ref_root, "Dataset", DATASET, "HISTORY", template % 8))
             np.testing.assert_array_equal(got, want)
+            _assert_csv_twin_matches(
+                os.path.join(ours, C.HISTORY_DIR),
+                os.path.join(ref_root, "Dataset", DATASET, "HISTORY"),
+                template % 8)
 
     def test_next_state_list(self, dual_dirs, monkeypatch):
         ours, ref_root = dual_dirs
@@ -145,6 +166,10 @@ class TestHistoryParity:
             got = np.load(os.path.join(ours, C.NEXT_STATE_DIR, template % 8))
             want = np.load(os.path.join(ref_root, "Dataset", DATASET, "NEXT_STATE", template % 8))
             np.testing.assert_array_equal(got, want)
+            _assert_csv_twin_matches(
+                os.path.join(ours, C.NEXT_STATE_DIR),
+                os.path.join(ref_root, "Dataset", DATASET, "NEXT_STATE"),
+                template % 8)
 
     def test_rl_sample(self, dual_dirs, monkeypatch):
         ours, ref_root = dual_dirs
@@ -157,3 +182,7 @@ class TestHistoryParity:
         got = np.load(os.path.join(ours, C.RL_SAMPLE_DIR, C.RL_SAMPLE_NPY_TEMPLATE % 9))
         want = np.load(os.path.join(ref_root, "Dataset", DATASET, "RL_SAMPLE", C.RL_SAMPLE_NPY_TEMPLATE % 9))
         np.testing.assert_array_equal(got, want)
+        _assert_csv_twin_matches(
+            os.path.join(ours, C.RL_SAMPLE_DIR),
+            os.path.join(ref_root, "Dataset", DATASET, "RL_SAMPLE"),
+            C.RL_SAMPLE_NPY_TEMPLATE % 9)

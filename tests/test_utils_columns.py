@@ -83,3 +83,11 @@ def test_nan_debugging_toggle():
     # back off: nan flows silently again
     out = jax.jit(lambda x: x / 0.0)(jnp.asarray(0.0))
     assert np.isnan(np.asarray(out))
+
+
+def test_environment_summary():
+    from pytorchrec_tpu.utils import environment_summary
+
+    env = environment_summary()
+    assert set(env) == {"jax", "backend", "devices", "n_devices", "n_processes"}
+    assert int(env["n_devices"]) >= 1
