@@ -17,6 +17,7 @@ from pytorchrec_tpu.parallel.embedding_engine import (
     bucket_capacity,
     grid_lookup,
     grid_rowgrad,
+    two_hop_lookup,
     two_hop_rowgrad,
     make_sharded_lookup,
     masked_psum_lookup,
@@ -38,6 +39,7 @@ __all__ = [
     "bucket_capacity",
     "grid_lookup",
     "grid_rowgrad",
+    "two_hop_lookup",
     "two_hop_rowgrad",
     "make_sharded_lookup",
 ]

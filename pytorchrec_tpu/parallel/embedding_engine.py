@@ -129,7 +129,8 @@ def _resolve_capacity(capacity, n: int, n_shards: int) -> Optional[int]:
 def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
                       axis_name: str = MODEL_AXIS,
                       capacity: Optional[int] = None,
-                      out_cols: Optional[int] = None) -> jnp.ndarray:
+                      out_cols: Optional[int] = None,
+                      valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Per-shard body: route ids to owners, gather, route vectors back.
 
     ``ids`` must be 1-D here ([B_local]); callers flatten/unflatten.
@@ -145,16 +146,29 @@ def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     row (W >= 64 is the vectorized-emitter regime — a narrow [n, E] gather
     would be ~100 ns/row SLOWER) and slices to the embedding columns before
     the return exchange, so ICI traffic stays at E, not W.
+
+    ``valid``: optional [b] bool mask — False slots route to a VIRTUAL
+    bucket (occupying no real bucket slot, shipping no bytes, never counting
+    as overflow) and return zero vectors. This is what lets
+    ``two_hop_lookup`` dedup duplicate requests between hops: duplicates are
+    marked invalid and re-expanded locally from their segment's survivor.
     """
     m = jax.lax.axis_size(axis_name)
     rows = table_shard.shape[0]
     (b,) = ids.shape
     capacity = _resolve_capacity(capacity, b, m)
     c = b if capacity is None else min(capacity, b)
-    r = _route_by_owner(ids, rows, m)
+    if valid is None:
+        r = _route_by_owner(ids, rows, m)
+        slot_ok = jnp.ones((b,), bool)
+    else:
+        owner = jnp.clip(ids // rows, 0, m - 1)
+        owner = jnp.where(valid, owner, m)  # virtual bucket, dropped
+        r = _route_owners(owner, m + 1)
+        slot_ok = r.sorted_owner < m
     sorted_ids = ids[r.order]
-    fits = r.pos_in_bucket < c
-    pos = jnp.where(fits, r.pos_in_bucket, c)  # overflow -> dropped
+    fits = (r.pos_in_bucket < c) & slot_ok
+    pos = jnp.where(fits, r.pos_in_bucket, c)  # overflow/invalid -> dropped
 
     # send matrix [m, c]: bucket d holds the ids owned by shard d (padded 0)
     send = jnp.zeros((m, c), dtype=ids.dtype)
@@ -174,7 +188,10 @@ def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     back = jax.lax.all_to_all(gathered, axis_name, split_axis=0, concat_axis=0,
                               tiled=False)  # [m, c, E]
     # unscatter: row i of the original order lives at [owner_i, pos_i]
-    sorted_vectors = back[r.sorted_owner, jnp.minimum(pos, c - 1)]  # [b, E]
+    sorted_vectors = back[jnp.minimum(r.sorted_owner, m - 1),
+                          jnp.minimum(pos, c - 1)]  # [b, E]
+    if valid is not None:
+        sorted_vectors = jnp.where(slot_ok[:, None], sorted_vectors, 0.0)
     vectors = sorted_vectors[r.inverse]
     if capacity is None or c == b:
         return vectors
@@ -184,12 +201,12 @@ def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     # everywhere). A full a2a round — NOT masked_psum_lookup — because the
     # fallback must not assume ids are replicated across the group (they are
     # per-data-shard in the grid layout).
-    need = (~fits)[r.inverse]
+    need = ((~fits) & slot_ok)[r.inverse]
     any_over = jax.lax.psum(jnp.sum(need.astype(jnp.int32)), axis_name) > 0
 
     def fallback(_):
         return all_to_all_lookup(table_shard, ids, axis_name, capacity=None,
-                                 out_cols=out_cols)
+                                 out_cols=out_cols, valid=valid)
 
     over = jax.lax.cond(any_over, fallback,
                         lambda _: jnp.zeros_like(vectors), None)
@@ -500,6 +517,98 @@ def two_hop_rowgrad(ids: jnp.ndarray, row_grads: jnp.ndarray,
         capacity2 = _resolve_capacity(capacity2, k, d)
     return _exchange_rowgrads(ids2, grads2, rows_per_shard * m, slow_axis,
                               capacity=capacity2)
+
+
+def two_hop_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
+                   axes: Tuple[str, str] = (DATA_AXIS, MODEL_AXIS),
+                   capacity2: Optional[int] = None,
+                   out_cols: Optional[int] = None) -> jnp.ndarray:
+    """Hierarchical 2-hop grid lookup — the forward twin of
+    ``two_hop_rowgrad`` (same contract as ``grid_lookup``: grid-sharded
+    [V/(d*m), E or W] shard + [b] data-local ids in, [b, E] vectors out,
+    replicated over the model axis).
+
+    Route matched to pod physics (``model`` = fast ICI, ``data`` = slow DCN):
+
+    1. **fast hop (ICI)**: each model replica routes its 1/m request chunk
+       to the local device whose fast coordinate equals the final owner's
+       (``owner % m``) — worst-case buckets, never leaves the host group;
+    2. **request dedup**: the landing zone holds every request this lane
+       will forward from the WHOLE fast group — duplicates are collapsed to
+       their segment-first slot (marked ``valid``), so each distinct id
+       crosses DCN once no matter how many replicas/batch rows want it;
+    3. **slow hop (DCN)**: because every request here satisfies
+       ``owner % m == mi``, mapping ids to the lane-local space
+       ``lid = (id // (m*rps))*rps + id % rps`` turns the slow hop into a
+       plain 1-D ``all_to_all_lookup`` over ``data`` — reusing its bounded
+       -capacity + psum-guarded exact-overflow machinery verbatim;
+    4. vectors ride back: slow-hop return (built into the 1-D lookup),
+       local duplicate re-expansion (segment-first gather), fast-hop return,
+       model-axis all_gather to reassemble the [b, E] result.
+
+    vs the flat ``grid_lookup``: DCN messages drop from ``(d-1)*m`` to
+    ``d-1`` per device per direction, and duplicated ids ship their E-wide
+    vector across DCN once instead of once per occurrence (the Zipf head
+    collapses inside each host). ``scripts/two_hop_traffic.py --lookup``
+    quantifies both.
+
+    ``capacity2``: slow-hop bucket size (int absolute; float = factor over
+    the REAL-request expectation ``k/d`` — the hop-2 vector is m*k slots
+    but carries ~k real requests, same resolution rule as
+    ``two_hop_rowgrad``). ``out_cols``: slice packed [*, W] rows to E at
+    the owner, before the DCN return.
+    """
+    slow_axis, fast_axis = axes
+    m = jax.lax.axis_size(fast_axis)
+    d = jax.lax.axis_size(slow_axis)
+    rps = table_shard.shape[0]
+    (b,) = ids.shape
+    pad = (-b) % m
+    if pad:
+        ids = jnp.concatenate([ids, jnp.zeros((pad,), ids.dtype)])
+    k = ids.shape[0] // m
+    mi = jax.lax.axis_index(fast_axis)
+    my_ids = jax.lax.dynamic_slice_in_dim(ids, mi * k, k)
+
+    # hop 1 (fast axis): bucket by the final owner's fast coordinate;
+    # worst-case capacity k => exact by construction. Unused bucket slots
+    # carry id 0 — they dedup into (at most) one slow-hop request and their
+    # returned vectors land only in slots the unscatter never reads.
+    lane = (my_ids // rps) % m
+    r = _route_owners(lane, m)
+    send = jnp.zeros((m, k), dtype=my_ids.dtype)
+    send = send.at[r.sorted_owner, r.pos_in_bucket].set(
+        my_ids[r.order], mode="drop")
+    recv = jax.lax.all_to_all(send, fast_axis, split_axis=0, concat_axis=0,
+                              tiled=False)  # [m, k]
+    req = recv.reshape(m * k)
+
+    # dedup between hops: sort, mark segment firsts; only firsts occupy
+    # slow-hop bucket slots (all_to_all_lookup's `valid` routing)
+    iota = jnp.arange(m * k, dtype=jnp.int32)
+    sorted_req, order1 = jax.lax.sort((req, iota), num_keys=1)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_req[1:] != sorted_req[:-1]])
+
+    # lane-local id space (owner % m == mi by the hop-1 invariant)
+    lids = (sorted_req // (m * rps)) * rps + (sorted_req % rps)
+    if isinstance(capacity2, float):
+        capacity2 = _resolve_capacity(capacity2, k, d)
+    vecs = all_to_all_lookup(table_shard, lids, slow_axis,
+                             capacity=capacity2, out_cols=out_cols,
+                             valid=is_start)  # [m*k, E]; zeros off-segment
+
+    # re-expand duplicates from their segment first, unsort, ride back
+    seg_first = jax.lax.cummax(jnp.where(is_start, iota, 0))
+    vecs_full = vecs[seg_first]
+    inv1 = jnp.argsort(order1)
+    back = vecs_full[inv1].reshape(m, k, -1)
+    back = jax.lax.all_to_all(back, fast_axis, split_axis=0, concat_axis=0,
+                              tiled=False)  # [m, k, E]
+    sorted_vectors = back[r.sorted_owner, r.pos_in_bucket]
+    chunk = sorted_vectors[r.inverse]  # [k, E] — this replica's chunk
+    full = jax.lax.all_gather(chunk, fast_axis, tiled=True)  # [b+pad, E]
+    return full[:b]
 
 
 def make_sharded_lookup(mesh: Mesh, strategy: str = "psum"):

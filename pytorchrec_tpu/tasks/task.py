@@ -182,8 +182,13 @@ class Task(ITask):
             user_sample_n=user_sample_n,
         )
 
+        # debug = no file artifacts, but best weights are still tracked in
+        # RAM (filepath=None) so the test eval below really runs at the best
+        # dev epoch — the reference's debug mode drops ModelCheckpoint and
+        # its load_best_weights then asserts (Task.py:245,258, IModel.py:319)
         model_checkpoint = ModelCheckpoint(
-            filepath=os.path.join(C.model_dir(), f"{self.filename}.msgpack"),
+            filepath=None if self.debug else os.path.join(
+                C.model_dir(), f"{self.filename}.msgpack"),
             monitor=self.monitor,
             mode=self.monitor_mode,
             save_best_only=True,
@@ -193,7 +198,7 @@ class Task(ITask):
             monitor=self.monitor, mode=self.monitor_mode, patience=self.patience
         )
         callbacks = (
-            [early_stopping]
+            [model_checkpoint, early_stopping]
             if self.debug
             else [model_checkpoint, csv_logger, early_stopping]
         )

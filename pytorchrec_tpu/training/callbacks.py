@@ -432,12 +432,19 @@ class ModelCheckpoint(Callback):
 
     def __init__(
         self,
-        filepath: str,
+        filepath: Optional[str],
         monitor: str = "loss",
         mode: str = "min",
         save_best_only: bool = True,
         save_freq: str = "epoch",  # "epoch" or int (batches)
     ):
+        """``filepath=None`` = in-RAM-only mode: track + save the best
+        weights on the trainer (``save_best_weights``) without writing any
+        file — what Task's debug mode needs for best-epoch test eval (the
+        reference's debug mode drops ModelCheckpoint entirely and its
+        unconditional ``load_best_weights`` then asserts on
+        ``best_state_dict is None`` — Task.py:245,258 + IModel.py:319; we
+        fix that rather than port it)."""
         super().__init__()
         self.filepath = filepath
         self.monitor = monitor
@@ -462,8 +469,9 @@ class ModelCheckpoint(Callback):
                 return
             self.best = current
             self.trainer.save_best_weights()
-        os.makedirs(os.path.dirname(self.filepath) or ".", exist_ok=True)
-        self.trainer.save_weights(self.filepath)
+        if self.filepath is not None:
+            os.makedirs(os.path.dirname(self.filepath) or ".", exist_ok=True)
+            self.trainer.save_weights(self.filepath)
 
     def on_epoch_end(self, epoch: int, logs=None):
         if self.save_freq == "epoch":

@@ -57,6 +57,7 @@ from pytorchrec_tpu.parallel.embedding_engine import (
     all_to_all_rowgrad,
     grid_lookup,
     grid_rowgrad,
+    two_hop_lookup,
     two_hop_rowgrad,
 )
 from pytorchrec_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -385,6 +386,12 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                     rows_in[name] = jnp.where(
                         is_hot[:, None], hot_vec, cold_vec)
                     hot_aux[name] = (packed, is_hot)
+                elif grid and self.two_hop:
+                    # forward twin of the 2-hop backward: request dedup
+                    # inside the fast group, one DCN hop per direction
+                    rows_in[name] = two_hop_lookup(
+                        shard, ids, table_axes, capacity2=cap,
+                        out_cols=emb_dims.get(path))
                 elif grid:
                     # packed shards gather full fast-width rows locally and
                     # slice to E before the return hop (out_cols)

@@ -96,6 +96,12 @@ def run_ours(model_name: str, seed: int):
 
 def _patch_reference_paths(work_dir: str) -> None:
     sys.path.insert(0, "/root/reference")
+    import numpy as np
+
+    # the reference targets numpy<2 (ModelCheckpoint.py:40-43 uses np.Inf,
+    # removed in numpy 2) — restore the alias so its code runs unmodified
+    if not hasattr(np, "Inf"):
+        np.Inf = np.inf
     import torchrec.utils.const as rc
 
     rc.WORK_DIR = work_dir
@@ -186,16 +192,23 @@ def run_reference(model_name: str, seed: int):
         metrics=metrics,
         device=torch.device("cpu"),
     )
+    # the reference's own ModelCheckpoint tracks the best dev epoch in RAM
+    # (ModelCheckpoint.py:83 save_best_weights); Task.run then restores it
+    # before the test pass (Task.py:258) — both stacks eval best weights
+    from torchrec.callback.ModelCheckpoint import ModelCheckpoint
+    import torchrec.utils.const as rc
+
+    ckpt = ModelCheckpoint(
+        filepath=os.path.join(rc.MODEL_DIR, f"parity_{model_name}_{seed}.pt"),
+        monitor="ndcg@10", mode="max", save_best_only=True)
     history = model.fit(
         dataset=TrainDataset(reader), batch_size=BATCH, epochs=EPOCHS,
         dev_dataset=DevDataset(reader), train_mode=TrainMode.PAIR_WISE,
-        verbose=0, callbacks=None, shuffle=True, workers=0, drop_last=True,
+        verbose=0, callbacks=[ckpt], shuffle=True, workers=0, drop_last=True,
         dev_freq=1,
     )
     best_epoch, _ = history.get_best_epoch_logs(monitor="ndcg@10")
-    # reference keeps best weights only via ModelCheckpoint; without it we
-    # re-run selection by evaluating at the end (close enough for parity:
-    # patience == epochs so training never stops early on either side)
+    model.load_best_weights()
     test_logs = model.evaluate(dataset=TestDataset(reader), batch_size=BATCH,
                                verbose=0, callbacks=None, workers=0)
     traj = [float(v) for v in history.history.get("ndcg@10", [])]

@@ -2,7 +2,12 @@
 
 Host-side simulation of the static-shape bucket accounting that
 ``embedding_engine.grid_rowgrad`` (flat) and ``two_hop_rowgrad``
-(hierarchical) actually use, on sampled id streams. Two effects:
+(hierarchical) actually use, on sampled id streams — and, from the same
+measured capacities, the forward LOOKUP twin (``grid_lookup`` vs
+``two_hop_lookup``): the lookup routes the same id buckets (requests out,
+E-wide vectors back), so its zero-overflow capacities are identical and
+only the per-entry byte split differs (4 B request + 4E B response vs the
+backward's 4+4E B combined row). Two effects:
 
 1. **Message aggregation**: flat grid sends (d-1)*m DCN messages per device
    per exchange; 2-hop sends (d-1) — the fast/model hop rides ICI. DCN at
@@ -91,7 +96,15 @@ def main():
               f"cap {two['cap']:5d} (worst {two['worst_cap']}), "
               f"{two['dcn_bytes']/1e6:7.2f} MB DCN/dev/exchange  "
               f"-> {ratio:.2f}x fewer DCN bytes, "
-              f"{flat['dcn_msgs']/two['dcn_msgs']:.0f}x fewer messages\n")
+              f"{flat['dcn_msgs']/two['dcn_msgs']:.0f}x fewer messages")
+        # forward lookup twin: same buckets, request ids out (4 B) +
+        # vectors back (4E B); messages count BOTH directions
+        lk_flat = (D - 1) * M * flat["cap"] * (4 + 4 * E)
+        lk_two = (D - 1) * two["cap"] * (4 + 4 * E)
+        print(f"{'':10s} lookup    : flat {2 * (D - 1) * M:3d} msgs "
+              f"{lk_flat/1e6:7.2f} MB vs two-hop {2 * (D - 1):3d} msgs "
+              f"{lk_two/1e6:7.2f} MB -> {lk_flat/lk_two:.2f}x fewer DCN "
+              f"bytes, {M:.0f}x fewer messages\n")
 
 
 if __name__ == "__main__":

@@ -334,6 +334,39 @@ def test_two_hop_rowgrad_matches_dense(capacity2):
     np.testing.assert_allclose(received, dense, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("capacity2", [None, 2, 1.5])
+def test_two_hop_lookup_matches_dense(capacity2):
+    """Hierarchical 2-hop grid lookup == a dense table gather, with
+    duplicate-heavy ids (the inter-hop request dedup fires), packed-row
+    out_cols slicing, and bounded slow-hop capacity (int small enough to
+    force the exact-overflow fallback, plus the float k/d-resolved form)."""
+    from pytorchrec_tpu.parallel import two_hop_lookup
+
+    mesh = make_mesh(data=4, model=2)
+    V, E, B = 64, 4, 48
+    rng = np.random.default_rng(11)
+    hot = rng.integers(0, 6, size=B // 2)
+    ids = np.concatenate([hot, rng.integers(0, V, size=B - B // 2)])
+    ids = rng.permutation(ids).astype(np.int32)
+    # W=8 packed-ish rows; lookup slices to E=4 before the DCN return
+    table = rng.normal(size=(V, 2 * E)).astype(np.float32)
+    AX = (DATA_AXIS, MODEL_AXIS)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(PartitionSpec(AX, None), PartitionSpec(DATA_AXIS)),
+        out_specs=PartitionSpec(DATA_AXIS, None),
+        check_vma=False,
+    )
+    def body(table_shard, ids_local):
+        return two_hop_lookup(table_shard, ids_local, AX,
+                              capacity2=capacity2, out_cols=E)
+
+    got = np.asarray(body(jnp.asarray(table), jnp.asarray(ids)))
+    want = table[ids][:, :E]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
 def test_two_hop_float_capacity_resolves_per_real_entries():
     """A FLOAT capacity2 sizes the slow-hop bucket from the REAL-entry
     expectation k/d — not the m*k slot count of the hop-2 vector, which
