@@ -169,14 +169,31 @@ def unpack_table(packed: jnp.ndarray, emb_dim: int) -> jnp.ndarray:
     return packed[:, :emb_dim]
 
 
+# Flag representation A/B (scripts/scan_flags_ab.py, v5e 2026-08-19):
+# ISOLATED, bool flags are 6.8x slower than f32 0/1 flags (1.49 vs 0.22 ms
+# / 3 passes at n=852k — XLA's bit-packed pred layout hits a serialized
+# emitter). END-TO-END the ranking inverts: the f32-packed step drops
+# 730.9k -> 623.1k ex/s with f32 flags (the pred work fuses into
+# neighboring passes for free, while f32 flags add real HBM traffic and a
+# fatter cond carry); int8-packed is a wash (872k both). Bool stays the
+# default; the toggle preserves the measured alternative.
+_PRED_FLAGS = True
+
+
 def _scan_passes(x, done, start_d, end_d):
     d = start_d
     while d < end_d:
         shifted_x = jnp.concatenate([jnp.zeros((d, x.shape[1]), x.dtype),
                                      x[:-d]], axis=0)
-        shifted_done = jnp.concatenate([jnp.ones((d,), bool), done[:-d]])
-        x = x + jnp.where(done[:, None], 0.0, shifted_x)
-        done = done | shifted_done
+        if _PRED_FLAGS:
+            shifted_done = jnp.concatenate([jnp.ones((d,), bool), done[:-d]])
+            x = x + jnp.where(done[:, None], 0.0, shifted_x)
+            done = done | shifted_done
+        else:
+            shifted_done = jnp.concatenate(
+                [jnp.ones((d,), jnp.float32), done[:-d]])
+            x = x + (1.0 - done)[:, None] * shifted_x
+            done = jnp.maximum(done, shifted_done)
         d *= 2
     return x, done
 
@@ -206,11 +223,12 @@ def _segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
     length, firing only for skewed batches (where they're needed for
     exactness)."""
     n = x.shape[0]
+    flags = is_start if _PRED_FLAGS else is_start.astype(jnp.float32)
     if n <= 2 * _EAGER_DEPTH:
-        x, _ = _scan_passes(x, is_start, 1, n)
+        x, _ = _scan_passes(x, flags, 1, n)
         return x
 
-    x, done = _scan_passes(x, is_start, 1, _EAGER_DEPTH)
+    x, done = _scan_passes(x, flags, 1, _EAGER_DEPTH)
 
     # done[i] == "a segment head lies within the last _EAGER_DEPTH slots",
     # so all(done) <=> every duplicate run fit the eager passes — no extra
@@ -218,7 +236,8 @@ def _segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
     def tail(args):
         return _scan_passes(args[0], args[1], _EAGER_DEPTH, n)[0]
 
-    return jax.lax.cond(jnp.all(done), lambda args: args[0], tail, (x, done))
+    all_done = jnp.all(done) if _PRED_FLAGS else jnp.min(done) > 0.5
+    return jax.lax.cond(all_done, lambda args: args[0], tail, (x, done))
 
 
 def segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
