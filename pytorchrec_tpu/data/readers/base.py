@@ -62,14 +62,19 @@ class DataReader:
         **kwargs,
     ):
         self.dataset = dataset
-        self.split_mode = split_mode
+        # accept the enums' string values too ("pair_wise", "leave_k_out"):
+        # a silently-ignored string train_mode would otherwise train
+        # point-wise without any signal (found by an end-to-end drive)
+        self.split_mode = (SplitMode(split_mode)
+                           if isinstance(split_mode, str) else split_mode)
         self.warm_n = warm_n
         self.vt_ratio = vt_ratio
         self.leave_k = leave_k
         self.neg_sample_n = neg_sample_n
         self.load_feature = load_feature
         self.append_id = append_id
-        self.train_mode = train_mode
+        self.train_mode = (TrainMode(train_mode)
+                           if isinstance(train_mode, str) else train_mode)
         self.random_seed = random_seed
         self.neg_sample_mode = neg_sample_mode
         self._fast_epoch = 0

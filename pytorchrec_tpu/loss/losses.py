@@ -55,11 +55,29 @@ def bce_loss(prediction: jnp.ndarray, target: jnp.ndarray, reduction: str = "mea
     return _reduce(-(target * log_p + (1.0 - target) * log_not_p), reduction)
 
 
+def softmax_ce_loss(prediction: jnp.ndarray, target=None, reduction: str = "mean") -> jnp.ndarray:
+    """Sampled-softmax cross entropy on a positive-first candidate layout.
+
+    ``prediction`` is ``[B, N]`` logits with the positive in column 0 (the
+    layout every ranking model in the zoo emits — e.g. reference
+    FunkSVD.py:64-65's one-hot-first target). Loss is
+    ``-log softmax(logits)[:, 0]``: with N-1 sampled negatives this is
+    sampled softmax; with the TwoTower model's in-batch layout it is the
+    standard in-batch-negatives contrastive loss. ``target`` is ignored
+    (the layout is positional, like bpr/top1). No reference counterpart —
+    the reference has no softmax ranking loss; this is the retrieval-family
+    training loss (models/two_tower.py).
+    """
+    assert prediction.ndim == 2 and prediction.shape[1] >= 2, prediction.shape
+    return _reduce(-jax.nn.log_softmax(prediction, axis=-1)[:, 0], reduction)
+
+
 LOSSES: Registry[Callable] = Registry("loss")
 LOSSES.register("bpr", bpr_loss)
 LOSSES.register("top1", top1_loss)
 LOSSES.register("mse", mse_loss)
 LOSSES.register("bce", bce_loss)
+LOSSES.register("softmax", softmax_ce_loss)
 
 loss_name_list = list(LOSSES.names())
 

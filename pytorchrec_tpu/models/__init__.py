@@ -6,9 +6,10 @@ registered here, each mapped to the data reader family it consumes.
 """
 
 from pytorchrec_tpu.models.base import RecModel
-from pytorchrec_tpu.models.ctr import DCNv2, DeepFM, FM, LR
+from pytorchrec_tpu.models.ctr import DCNv2, DeepFM, DLRM, FM, LR
 from pytorchrec_tpu.models.din import DIN
 from pytorchrec_tpu.models.funk_svd import FunkSVD
+from pytorchrec_tpu.models.two_tower import TwoTower
 from pytorchrec_tpu.models.gru4rec import GRU4Rec
 from pytorchrec_tpu.models.ncf import NCF
 from pytorchrec_tpu.models.sasrec import SASRec
@@ -42,6 +43,8 @@ _MODEL_TO_READER = {
     "deepfm": (DeepFM, "ctr"),
     "dcn": (DCNv2, "ctr"),
     "dcnv2": (DCNv2, "ctr"),
+    "dlrm": (DLRM, "ctr"),
+    "two_tower": (TwoTower, "simple"),
     "dqn": (DQNQNet, "value_rl"),
     "deers": (make_deers_qnet, "value_rl"),
     "lsrl": (make_lsrl_qnet, "value_rl"),
@@ -77,6 +80,8 @@ __all__ = [
     "FM",
     "DeepFM",
     "DCNv2",
+    "DLRM",
+    "TwoTower",
     "QNet",
     "DQNQNet",
     "BranchQNet",

@@ -1,4 +1,4 @@
-"""CTR model family: LR, FM, DeepFM, DCN-v2.
+"""CTR model family: LR, FM, DeepFM, DCN-v2, DLRM.
 
 No reference-model counterpart in the zoo (the reference covers MF/NCF/seq/RL
 only); these are required configs per BASELINE.json ("LR+FM on MovieLens-100K",
@@ -25,7 +25,7 @@ from pytorchrec_tpu.feature_column import CategoricalColumnWithIdentity, Numeric
 from pytorchrec_tpu.models.base import Batch, Prediction, RecModel, label_target, one_hot_first_target
 from pytorchrec_tpu.ops import MLP, Embedding
 from pytorchrec_tpu.ops.embedding import normal_init
-from pytorchrec_tpu.ops.interactions import CrossNetworkV2, fm_interaction
+from pytorchrec_tpu.ops.interactions import CrossNetworkV2, dot_interaction, fm_interaction
 
 
 def _gather_fields(batch: Batch, sparse_columns, dense_columns) -> Tuple[list, list, bool]:
@@ -163,17 +163,19 @@ class _CTRBase(RecModel):
                                                     scale_shape)
             else:
                 self.unified_table = Embedding(total, self.emb_size, name="unified_emb")
-            self.unified_lin = Embedding(total, 1, name="unified_lin")
+            if self._uses_linear:
+                self.unified_lin = Embedding(total, 1, name="unified_lin")
         else:
             self.field_embeddings = [
                 Embedding(c.category_num, self.emb_size, name=f"emb_{c.feature_name}")
                 for c in self.sparse_columns
             ]
-            self.first_order = [
-                Embedding(c.category_num, 1, name=f"lin_{c.feature_name}")
-                for c in self.sparse_columns
-            ]
-        if self.dense_columns:
+            if self._uses_linear:
+                self.first_order = [
+                    Embedding(c.category_num, 1, name=f"lin_{c.feature_name}")
+                    for c in self.sparse_columns
+                ]
+        if self.dense_columns and self._uses_linear:
             # one factor vector per dense field, scaled by the value
             self.dense_factors = self.param(
                 "dense_factors", normal_init, (len(self.dense_columns), self.emb_size)
@@ -181,7 +183,8 @@ class _CTRBase(RecModel):
             self.dense_linear = self.param(
                 "dense_linear", normal_init, (len(self.dense_columns),)
             )
-        self.global_bias = self.param("bias", nn.initializers.zeros, ())
+        if self._uses_linear:
+            self.global_bias = self.param("bias", nn.initializers.zeros, ())
 
     def _unified_vectors(self, sparse, batch: Batch) -> jnp.ndarray:
         """[..., Fs, E] from the unified table (f32, quantized, or the
@@ -263,6 +266,9 @@ class _CTRBase(RecModel):
     # only materialized by models that call _field_vectors; the trainer
     # filters paths against the real param tree.
     _uses_field_embeddings = True
+    # wide/linear term: DLRM has none — setting False skips the linear
+    # tables entirely (no params, no sparse-trainer row passes on them)
+    _uses_linear = True
 
     def quantized_table_spec(self, batch: Batch):
         """Quantized-trainer protocol (training/quantized_trainer.py)."""
@@ -290,10 +296,10 @@ class _CTRBase(RecModel):
         )
         sparse, _, _ = _gather_fields(batch, self.sparse_columns, self.dense_columns)
         ids = self._unified_ids_from(sparse)
-        specs = {
-            "unified_lin": {"path": "unified_lin/embedding", "ids": ids,
-                            "rows_key": self.LIN_ROWS_KEY},
-        }
+        specs = {}
+        if self._uses_linear:
+            specs["unified_lin"] = {"path": "unified_lin/embedding", "ids": ids,
+                                    "rows_key": self.LIN_ROWS_KEY}
         if self._uses_field_embeddings:
             specs["unified"] = {"path": "unified_emb/embedding", "ids": ids,
                                 "rows_key": self.ROWS_KEY}
@@ -315,7 +321,9 @@ class _CTRBase(RecModel):
                 if ids is not None:
                     parts.append((jnp.asarray(ids) + off).reshape(-1))
             unified = jnp.concatenate(parts) if parts else jnp.zeros((0,), jnp.int32)
-            ids_map = {"unified_lin/embedding": unified}
+            ids_map = {}
+            if self._uses_linear:
+                ids_map["unified_lin/embedding"] = unified
             if self._uses_field_embeddings:
                 ids_map["unified_emb/embedding"] = unified
             return ids_map
@@ -324,7 +332,8 @@ class _CTRBase(RecModel):
             ids = column.get_feature_data(batch)
             if ids is None:
                 continue
-            ids_map[f"lin_{column.feature_name}/embedding"] = ids
+            if self._uses_linear:
+                ids_map[f"lin_{column.feature_name}/embedding"] = ids
             if self._uses_field_embeddings:
                 ids_map[f"emb_{column.feature_name}/embedding"] = ids
         return ids_map
@@ -376,6 +385,56 @@ class DeepFM(_CTRBase):
         flat = vectors.reshape(*vectors.shape[:-2], -1)  # [..., F*E]
         deep_term = self.deep_head(self.deep(flat, train=train))[..., 0]
         prediction = fm_term + deep_term
+        return self._finish(prediction, candidate_mode, batch)
+
+
+class DLRM(_CTRBase):
+    """DLRM: bottom MLP over dense features -> one extra "field" vector,
+    pairwise dot interaction across all field vectors (Gram lower-triangle,
+    one MXU matmul — ops/interactions.py::dot_interaction), top MLP over
+    [dense vector ++ interactions].
+
+    The canonical production CTR architecture (Naumov et al., arXiv
+    1906.00091). No reference counterpart; shares _CTRBase's embedding
+    layouts (unified / quantized / packed / sharded protocols) so every
+    trainer path serves it unchanged.
+    """
+
+    bottom_layers: Sequence[int] = (64,)   # last entry is projected to emb_size
+    top_layers: Sequence[int] = (256, 128)
+    dropout: float = 0.0
+    self_interaction: bool = False
+    _uses_linear = False  # DLRM has no wide/linear term
+
+    def setup(self):
+        self._build_embeddings()
+        if self.dense_columns:
+            self.bottom = MLP(tuple(self.bottom_layers), activation="relu",
+                              dropout=self.dropout)
+            self.bottom_proj = nn.Dense(self.emb_size, kernel_init=normal_init)
+        self.top = MLP(tuple(self.top_layers), activation="relu",
+                       dropout=self.dropout)
+        self.top_head = nn.Dense(1, use_bias=True, kernel_init=normal_init,
+                                 bias_init=nn.initializers.zeros)
+
+    def __call__(self, batch: Batch, train: bool = False) -> Prediction:
+        sparse, dense, candidate_mode = _gather_fields(
+            batch, self.sparse_columns, self.dense_columns)
+        if self.unified_embedding:
+            vectors = self._unified_vectors(sparse, batch)  # [..., Fs, E]
+        else:
+            vectors = jnp.stack(
+                [emb(ids) for emb, ids in zip(self.field_embeddings, sparse)],
+                axis=-2)
+        top_in = []
+        if dense:
+            dense_x = jnp.stack(dense, axis=-1)  # [..., F_dense]
+            dense_vec = self.bottom_proj(self.bottom(dense_x, train=train))
+            vectors = jnp.concatenate([vectors, dense_vec[..., None, :]], axis=-2)
+            top_in.append(dense_vec)
+        top_in.append(dot_interaction(vectors, self.self_interaction))
+        prediction = self.top_head(
+            self.top(jnp.concatenate(top_in, axis=-1), train=train))[..., 0]
         return self._finish(prediction, candidate_mode, batch)
 
 

@@ -1,0 +1,170 @@
+"""Two-tower retrieval model with in-batch-negative softmax training.
+
+The production candidate-retrieval architecture (Covington et al. 2016 /
+Yi et al. 2019): a user tower and an item tower each map their id embedding
+through an MLP to a shared D-dimensional space; score = (optionally
+cosine-normalized) dot product. Training uses in-batch negatives — every
+other row's positive item serves as a negative, giving B-1 negatives for
+the cost of one [B, D] x [D, B] MXU matmul — with an optional logQ
+correction for the in-batch sampling bias.
+
+No reference counterpart (the reference zoo is ranking-only); this is the
+retrieval half of a production rec stack, and the TPU-flattering one: both
+training and full-corpus retrieval are MXU matmuls, not row-granular
+gathers. Serving-side top-k over the full item corpus lives in
+pytorchrec_tpu/serving/retrieval.py.
+
+Data contract (models/base.py): ranking rows ``[B, 1+n]`` positive-first.
+* eval / ``in_batch_negatives=False``: candidates are scored directly
+  ``[B, N]`` — the standard leave-k-out protocol works unchanged.
+* train with ``in_batch_negatives=True`` (default): the row's POSITIVE
+  (column 0) is scored against every in-batch positive; the prediction is
+  re-laid out positive-first ``[B, B]`` so the ``softmax`` loss
+  (loss/losses.py::softmax_ce_loss) — and any other positive-first loss —
+  applies unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pytorchrec_tpu.feature_column import CategoricalColumnWithIdentity
+from pytorchrec_tpu.models.base import Batch, Prediction, RecModel, label_target, one_hot_first_target
+from pytorchrec_tpu.ops import MLP, Embedding
+from pytorchrec_tpu.ops.embedding import normal_init
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
+def drop_diagonal(square: jnp.ndarray) -> jnp.ndarray:
+    """``[B, B] -> [B, B-1]``: remove the diagonal, preserving row order.
+
+    Classic static-shape trick: flatten, drop the last element, reshape to
+    ``[B-1, B+1]`` (each row then starts one past a diagonal element), drop
+    the first column, reshape back. Pure reshapes — no gather.
+    """
+    b = square.shape[0]
+    flat = square.reshape(*square.shape[:-2], b * b)[..., :-1]
+    return flat.reshape(*square.shape[:-2], b - 1, b + 1)[..., 1:].reshape(
+        *square.shape[:-2], b, b - 1)
+
+
+class TwoTower(RecModel):
+    uid_column: CategoricalColumnWithIdentity
+    iid_column: CategoricalColumnWithIdentity
+    label_column: CategoricalColumnWithIdentity = None
+    emb_size: int = 64
+    layers: Sequence[int] = (128, 64)  # tower MLP; last entry = shared dim D
+    normalize: bool = True             # L2-normalize tower outputs (cosine)
+    temperature: float = 0.05          # logits /= temperature when normalized
+    in_batch_negatives: bool = True    # train-time [B, B] in-batch layout
+    # logQ correction: batch key holding each in-batch item's sampling
+    # probability q(i) (e.g. empirical frequency from data/vocab.py's
+    # FrequencyVocab); when present at train time, log q is subtracted from
+    # every candidate logit (positive included — Yi et al. 2019 eq. 6) so
+    # frequent items are not over-penalized as in-batch negatives.
+    LOGQ_KEY = "__two_tower_logq"
+    # sharded/sparse trainer injection keys (FunkSVD-style protocol)
+    U_ROWS_KEY = "__rows__tt_u"
+    I_ROWS_KEY = "__rows__tt_i"
+    table_row_multiple: int = 1
+
+    def setup(self):
+        m = self.table_row_multiple
+        self.u_embeddings = Embedding(
+            _round_up(self.uid_column.category_num, m), self.emb_size)
+        self.i_embeddings = Embedding(
+            _round_up(self.iid_column.category_num, m), self.emb_size)
+        self.user_mlp = MLP(tuple(self.layers), activation="relu")
+        self.item_mlp = MLP(tuple(self.layers), activation="relu")
+        self.user_proj = nn.Dense(self.layers[-1], kernel_init=normal_init)
+        self.item_proj = nn.Dense(self.layers[-1], kernel_init=normal_init)
+
+    # --- towers (also exposed for serving via model.apply(method=...)) ---
+
+    def _norm(self, x: jnp.ndarray) -> jnp.ndarray:
+        if not self.normalize:
+            return x
+        return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+    def user_vectors_from(self, u_emb: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self._norm(self.user_proj(self.user_mlp(u_emb, train=train)))
+
+    def item_vectors_from(self, i_emb: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self._norm(self.item_proj(self.item_mlp(i_emb, train=train)))
+
+    def user_vectors(self, u_ids: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """ids [...] -> tower output [..., D]. Serving entry."""
+        return self.user_vectors_from(self.u_embeddings(u_ids), train=train)
+
+    def item_vectors(self, i_ids: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """ids [...] -> tower output [..., D]. Serving / index-build entry."""
+        return self.item_vectors_from(self.i_embeddings(i_ids), train=train)
+
+    # --- training / eval forward ---
+
+    def _scale(self, logits: jnp.ndarray) -> jnp.ndarray:
+        return logits / self.temperature if self.normalize else logits
+
+    def __call__(self, batch: Batch, train: bool = False) -> Prediction:
+        u_ids = self.uid_column.get_feature_data(batch)  # [B]
+        i_ids = self.iid_column.get_feature_data(batch)  # [B] or [B, N]
+
+        u_rows = batch.get(self.U_ROWS_KEY)
+        i_rows = batch.get(self.I_ROWS_KEY)
+        u_emb = (jnp.reshape(u_rows, (*u_ids.shape, self.emb_size))
+                 if u_rows is not None else self.u_embeddings(u_ids))
+        i_emb = (jnp.reshape(i_rows, (*i_ids.shape, self.emb_size))
+                 if i_rows is not None else self.i_embeddings(i_ids))
+
+        u_vec = self.user_vectors_from(u_emb, train=train)      # [B, D]
+        i_vec = self.item_vectors_from(i_emb, train=train)      # [B(,N), D]
+
+        if i_ids.ndim == 1:  # point-wise rows
+            prediction = self._scale(jnp.sum(u_vec * i_vec, axis=-1))
+            return prediction, label_target(self.label_column, batch)
+
+        if train and self.in_batch_negatives:
+            # in-batch negatives: each row's positive (column 0) against
+            # every in-batch positive — one [B, D] x [D, B] MXU matmul
+            pos_vec = i_vec[:, 0, :]                              # [B, D]
+            logits = self._scale(u_vec @ pos_vec.T)               # [B, B]
+            logq = batch.get(self.LOGQ_KEY)
+            if logq is not None:
+                # Yi et al. 2019 eq. 6: s^c(x_i, y_j) = s(x_i, y_j) - log q(y_j)
+                # for EVERY candidate column j (positive included)
+                logits = logits - jnp.log(jnp.asarray(logq, jnp.float32))[None, :]
+            prediction = jnp.concatenate(
+                [jnp.diagonal(logits)[:, None], drop_diagonal(logits)],
+                axis=-1)                                          # [B, B] pos-first
+            return prediction, one_hot_first_target(prediction)
+
+        # candidate scoring (eval / sampled-negative training)
+        prediction = self._scale(jnp.einsum("bd,bnd->bn", u_vec, i_vec))
+        return prediction, one_hot_first_target(prediction)
+
+    # --- trainer protocols (same contracts as FunkSVD) ---
+
+    def sparse_table_ids(self, batch: Batch):
+        """Sparse-trainer protocol (training/sparse_trainer.py)."""
+        return {
+            "u_embeddings/embedding": self.uid_column.get_feature_data(batch),
+            "i_embeddings/embedding": self.iid_column.get_feature_data(batch),
+        }
+
+    def sharded_table_specs(self, batch: Batch):
+        """Explicit sharded-table protocol
+        (training/sharded_sparse_trainer.py)."""
+        return {
+            "u": {"path": "u_embeddings/embedding",
+                  "ids": self.uid_column.get_feature_data(batch),
+                  "rows_key": self.U_ROWS_KEY},
+            "i": {"path": "i_embeddings/embedding",
+                  "ids": self.iid_column.get_feature_data(batch),
+                  "rows_key": self.I_ROWS_KEY},
+        }

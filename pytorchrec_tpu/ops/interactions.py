@@ -46,6 +46,27 @@ def fm_interaction_vector(field_vectors: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (jnp.square(sum_of_fields) - sum_of_squares)
 
 
+def dot_interaction(field_vectors: jnp.ndarray, self_interaction: bool = False) -> jnp.ndarray:
+    """DLRM-style pairwise dot interaction: ``[..., F, E] -> [..., F*(F-1)/2]``.
+
+    Computes the Gram matrix ``V V^T`` (one MXU batched matmul) and extracts
+    the strictly-lower triangle — each distinct field pair's dot product as
+    its own feature, the interaction the DLRM architecture feeds its top MLP
+    (vs FM's scalar sum, :func:`fm_interaction`). ``self_interaction=True``
+    also keeps the diagonal (``F*(F+1)/2`` outputs).
+
+    The triangle extraction uses a static boolean mask + reshape-free
+    ``where``-compress via ``jnp.take`` with precomputed flat indices —
+    static shapes, XLA-friendly, no dynamic slicing.
+    """
+    num_fields = field_vectors.shape[-2]
+    gram = jnp.einsum("...fe,...ge->...fg", field_vectors, field_vectors)
+    rows, cols = jnp.tril_indices(num_fields, k=0 if self_interaction else -1)
+    flat_idx = rows * num_fields + cols  # static index vector
+    flat = gram.reshape(*gram.shape[:-2], num_fields * num_fields)
+    return jnp.take(flat, flat_idx, axis=-1)
+
+
 class CrossLayerV2(nn.Module):
     """One DCN-v2 cross layer: ``x_{l+1} = x0 * (W x_l + b) + x_l``.
 

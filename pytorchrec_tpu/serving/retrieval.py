@@ -1,0 +1,136 @@
+"""Full-corpus top-k retrieval for two-tower models.
+
+The serving half of models/two_tower.py: precompute the item-tower output
+for the whole corpus once (``build_item_index`` — batched through the item
+tower, one [V, D] matrix resident in HBM), then answer queries with one
+``[B, D] x [D, V]`` MXU matmul + ``jax.lax.top_k`` — no approximate-NN
+structure needed at rec-corpus sizes (v5e: a 4096 x 1M x 128 bf16 score
+matmul is ~0.7 ms of MXU time; see scripts/retrieval_bench.py).
+
+No reference counterpart (the reference has no retrieval family at all);
+this is the TPU-native replacement for the FAISS/ScaNN sidecar a torch
+stack would bolt on.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_item_index(model, params, num_items: int, batch_size: int = 65536,
+                     dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Run every item id through the item tower -> ``[num_items, D]``.
+
+    Batched so the tower activations never exceed ``batch_size`` rows; the
+    final index is cast to ``dtype`` (bf16 by default — halves HBM and feeds
+    the MXU directly; scores stay fp32 via preferred_element_type).
+    """
+    padded = -(-num_items // batch_size) * batch_size
+    ids = np.arange(padded, dtype=np.int32) % max(num_items, 1)
+
+    @jax.jit
+    def tower(chunk):
+        return model.apply(params, chunk, method=model.item_vectors)
+
+    parts = [tower(jnp.asarray(ids[start:start + batch_size]))
+             for start in range(0, padded, batch_size)]
+    return jnp.concatenate(parts)[:num_items].astype(dtype)
+
+
+def make_retrieve_fn(model, temperature: Optional[float] = None,
+                     chunk_items: int = 65536, approx: bool = False,
+                     recall_target: float = 0.99):
+    """Jitted ``(params, item_index, u_ids, k) -> (scores, item_ids)``.
+
+    ``k`` is static (each distinct k compiles once). Scores are returned in
+    descending order; when the model is cosine-normalized the temperature
+    scaling is applied so serving scores match training logits.
+
+    The corpus is scored in ``chunk_items``-row blocks with a running top-k
+    merge (``lax.scan``) so peak memory is ``B x chunk_items`` scores, not
+    ``B x V`` — a [4096, 1M] fp32 score matrix would be 16 GB, more than a
+    v5e's HBM; chunked, the same retrieval streams the index through the MXU
+    at full rate.
+
+    ``approx=True`` selects each chunk's candidates with
+    ``jax.lax.approx_max_k`` — the TPU-native partial-reduction top-k
+    (Chern et al. 2022, the ScaNN selection primitive) — instead of the
+    sort-based exact ``lax.top_k``. Measured on a v5e over a 1M-item corpus
+    the exact sort dominates end-to-end (~250x over the score matmul);
+    approx at ``recall_target=0.99`` runs at MXU speed (scripts/
+    retrieval_bench.py). The cross-chunk merge stays exact either way, so
+    recall loss is bounded by the per-chunk selection alone.
+    """
+    scale = temperature if temperature is not None else (
+        model.temperature if model.normalize else None)
+
+    @jax.jit
+    def user_tower(params, u_ids):
+        return model.apply(params, u_ids, method=model.user_vectors)
+
+    def retrieve(params, item_index: jnp.ndarray, u_ids: jnp.ndarray,
+                 k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        u_vec = user_tower(params, u_ids)  # [B, D] f32 (normalized in-tower)
+        return _topk_scores(u_vec, item_index, k, scale, chunk_items,
+                            approx, recall_target)
+
+    return retrieve
+
+
+def _chunk_scores(u_vec, chunk, scale):
+    scores = jax.lax.dot_general(
+        u_vec.astype(chunk.dtype), chunk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, C] fp32 out of the MXU
+    if scale is not None:
+        scores = scores / scale
+    return scores
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _topk_scores(u_vec, item_index, k, scale=None, chunk_items=65536,
+                 approx=False, recall_target=0.99):
+    def block_topk(scores):
+        if approx:
+            return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+        return jax.lax.top_k(scores, k)
+
+    num_items = item_index.shape[0]
+    if num_items <= chunk_items:
+        return block_topk(_chunk_scores(u_vec, item_index, scale))
+
+    n_chunks = -(-num_items // chunk_items)
+    if num_items % n_chunks == 0:
+        chunk, padded = num_items // n_chunks, num_items
+    else:
+        chunk = chunk_items
+        padded = n_chunks * chunk
+        item_index = jnp.pad(item_index, ((0, padded - num_items), (0, 0)))
+    chunks = item_index.reshape(n_chunks, chunk, item_index.shape[1])
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+    batch = u_vec.shape[0]
+    init = (jnp.full((batch, k), -jnp.inf, jnp.float32),
+            jnp.zeros((batch, k), jnp.int32))
+
+    def merge(carry, xs):
+        best_s, best_i = carry
+        block, offset = xs
+        scores = _chunk_scores(u_vec, block, scale)
+        if padded != num_items:  # mask pad rows out of the last chunk
+            col_ids = offset + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col_ids < num_items, scores, -jnp.inf)
+        s, i = block_topk(scores)
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate([best_i, i + offset], axis=1)
+        s2, sel = jax.lax.top_k(cat_s, k)
+        return (s2, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    (scores, ids), _ = jax.lax.scan(merge, init, (chunks, offsets))
+    return scores, ids

@@ -40,7 +40,7 @@ def build_model(model_name: str, reader: DataReader, **hparams) -> Any:
     columns = reader.get_feature_column_dict()
     factory = get_model_type(name)
 
-    if name in ("funksvd", "ncf"):
+    if name in ("funksvd", "ncf", "two_tower"):
         return factory(
             uid_column=columns[C.UID], iid_column=columns[C.IID],
             label_column=columns[C.LABEL], **hparams,
@@ -62,7 +62,7 @@ def build_model(model_name: str, reader: DataReader, **hparams) -> Any:
             his_column=columns[C.POS_HIS], his_len_column=columns[C.POS_HIS_LEN],
             label_column=columns[C.LABEL], **hparams,
         )
-    if name in ("lr", "fm", "deepfm", "dcn", "dcnv2"):
+    if name in ("lr", "fm", "deepfm", "dcn", "dcnv2", "dlrm"):
         sparse = [
             col for key, col in columns.items()
             if isinstance(col, CategoricalColumnWithIdentity)

@@ -123,6 +123,8 @@ class Task(ITask):
         self.debug = debug
         self.random_seed = random_seed
         self.metrics = list(metrics or ["ndcg@10"])
+        if isinstance(train_mode, str):  # accept the enum's string value
+            train_mode = TrainMode(train_mode)
         self.train_mode = train_mode or data_reader.train_mode
         self.data_reader = data_reader
         self.model = model

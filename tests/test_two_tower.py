@@ -1,0 +1,240 @@
+"""TwoTower retrieval family: in-batch layout, logQ correction, softmax CE
+loss, DLRM dot interaction, and full-corpus top-k retrieval.
+
+No reference counterpart (the reference zoo is ranking-only) — correctness
+targets are numpy re-derivations of the published formulations (Yi et al.
+2019 in-batch logQ softmax; Naumov et al. 2019 DLRM dot interaction).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorchrec_tpu.feature_column import CategoricalColumnWithIdentity
+from pytorchrec_tpu.loss import get_loss
+from pytorchrec_tpu.models.two_tower import TwoTower, drop_diagonal
+from pytorchrec_tpu.ops.interactions import dot_interaction
+from pytorchrec_tpu.serving.retrieval import build_item_index, make_retrieve_fn
+
+
+def _col(name, n):
+    return CategoricalColumnWithIdentity(feature_name=name, category_num=n)
+
+
+def _make_model(n_users=50, n_items=80, **kw):
+    kw.setdefault("emb_size", 8)
+    kw.setdefault("layers", (16, 8))
+    return TwoTower(uid_column=_col("uid", n_users), iid_column=_col("iid", n_items),
+                    label_column=_col("label", 2), **kw)
+
+
+class TestDropDiagonal:
+    def test_matches_mask_compress(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(7, 7)).astype(np.float32)
+        got = np.asarray(drop_diagonal(jnp.asarray(x)))
+        want = np.stack([np.delete(row, i) for i, row in enumerate(x)])
+        np.testing.assert_allclose(got, want)
+
+
+class TestSoftmaxLoss:
+    def test_matches_numpy_ce(self):
+        rng = np.random.default_rng(1)
+        logits = rng.normal(size=(32, 10)).astype(np.float32)
+        got = float(get_loss("softmax")(jnp.asarray(logits)))
+        shifted = logits - logits.max(axis=1, keepdims=True)
+        want = np.mean(np.log(np.exp(shifted).sum(axis=1)) - shifted[:, 0])
+        assert got == pytest.approx(want, rel=1e-5)
+
+
+class TestDotInteraction:
+    def test_matches_pairwise_loop(self):
+        rng = np.random.default_rng(2)
+        v = rng.normal(size=(4, 6, 8)).astype(np.float32)
+        got = np.asarray(dot_interaction(jnp.asarray(v)))
+        want = []
+        for b in range(4):
+            feats = [v[b, f] @ v[b, g] for f in range(6) for g in range(f)]
+            want.append(feats)
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5)
+        # self_interaction adds the diagonal: F*(F+1)/2 outputs
+        got_self = dot_interaction(jnp.asarray(v), self_interaction=True)
+        assert got_self.shape == (4, 6 * 7 // 2)
+
+
+class TestInBatchForward:
+    def _apply(self, model, batch, train):
+        params = model.init(jax.random.PRNGKey(0), batch, train)
+        return model.apply(params, batch, train,
+                           rngs={"dropout": jax.random.PRNGKey(1)}), params
+
+    def test_in_batch_layout_positive_first(self):
+        model = _make_model(normalize=False)
+        rng = np.random.default_rng(3)
+        batch = {"uid": jnp.asarray(rng.integers(0, 50, size=8)),
+                 "iid": jnp.asarray(rng.integers(0, 80, size=(8, 3)))}
+        (pred, target), params = self._apply(model, batch, True)
+        assert pred.shape == (8, 8)
+        assert np.allclose(np.asarray(target)[:, 0], 1.0)
+        # column 0 must equal the direct u.i score of the row's own positive
+        u_vec = model.apply(params, batch["uid"], method=model.user_vectors)
+        i_vec = model.apply(params, batch["iid"][:, 0], method=model.item_vectors)
+        own = np.sum(np.asarray(u_vec) * np.asarray(i_vec), axis=-1)
+        np.testing.assert_allclose(np.asarray(pred[:, 0]), own, rtol=1e-5)
+        # eval path keeps the candidate layout
+        (pred_eval, _), _ = self._apply(model, batch, False)
+        assert pred_eval.shape == (8, 3)
+
+    def test_logq_correction_shifts_all_columns(self):
+        model = _make_model(normalize=False)
+        rng = np.random.default_rng(4)
+        batch = {"uid": jnp.asarray(rng.integers(0, 50, size=6)),
+                 "iid": jnp.asarray(rng.integers(0, 80, size=(6, 2)))}
+        (raw, _), params = self._apply(model, batch, True)
+        q = rng.uniform(0.01, 0.5, size=6).astype(np.float32)
+        batch_q = dict(batch)
+        batch_q[TwoTower.LOGQ_KEY] = jnp.asarray(q)
+        corrected = model.apply(params, batch_q, True,
+                                rngs={"dropout": jax.random.PRNGKey(1)})[0]
+        # reconstruct: full matrix correction then positive-first relayout
+        logits = np.zeros((6, 6), np.float32)
+        logits[:, 0] = np.asarray(raw)[:, 0]
+        # invert drop_diagonal is fiddly; check the diagonal column directly:
+        # own-positive logit must shift by -log q(own item)
+        np.testing.assert_allclose(
+            np.asarray(corrected)[:, 0], np.asarray(raw)[:, 0] - np.log(q),
+            rtol=1e-5)
+
+    def test_pointwise_rows(self):
+        model = _make_model()
+        batch = {"uid": jnp.arange(5), "iid": jnp.arange(5),
+                 "label": jnp.asarray([1, 0, 1, 0, 1])}
+        (pred, target), _ = self._apply(model, batch, True)
+        assert pred.shape == (5,)
+        np.testing.assert_allclose(np.asarray(target), [1, 0, 1, 0, 1])
+
+    def test_normalized_scores_are_scaled_cosines(self):
+        model = _make_model(normalize=True, temperature=0.1)
+        batch = {"uid": jnp.arange(4), "iid": jnp.arange(4)[:, None]}
+        (pred, _), params = self._apply(model, batch, False)
+        assert np.all(np.abs(np.asarray(pred)) <= 1.0 / 0.1 + 1e-4)
+
+
+class TestRetrieval:
+    def test_topk_matches_bruteforce(self):
+        model = _make_model(n_items=200, normalize=True)
+        batch = {"uid": jnp.arange(8), "iid": jnp.zeros((8,), jnp.int32)}
+        params = model.init(jax.random.PRNGKey(0), batch, False)
+
+        index = build_item_index(model, params, num_items=200, batch_size=64,
+                                 dtype=jnp.float32)
+        assert index.shape == (200, 8)
+        retrieve = make_retrieve_fn(model)
+        scores, ids = retrieve(params, index, jnp.arange(8), k=10)
+        assert scores.shape == (8, 10) and ids.shape == (8, 10)
+
+        u_vec = np.asarray(model.apply(params, jnp.arange(8),
+                                       method=model.user_vectors))
+        full = u_vec @ np.asarray(index).T / model.temperature
+        want_ids = np.argsort(-full, axis=1)[:, :10]
+        # top-k ties can permute; compare score sets
+        np.testing.assert_allclose(
+            np.asarray(scores), np.take_along_axis(full, want_ids, axis=1),
+            rtol=1e-4)
+
+    @pytest.mark.parametrize("n_items,chunk", [(200, 64), (201, 64)])
+    def test_chunked_topk_matches_single_block(self, n_items, chunk):
+        """Streaming top-k merge (equal-chunks and padded-mask paths) must
+        equal the unchunked scorer."""
+        model = _make_model(n_items=n_items, normalize=False)
+        batch = {"uid": jnp.arange(8), "iid": jnp.zeros((8,), jnp.int32)}
+        params = model.init(jax.random.PRNGKey(0), batch, False)
+        index = build_item_index(model, params, num_items=n_items,
+                                 batch_size=64, dtype=jnp.float32)
+        whole = make_retrieve_fn(model, chunk_items=1 << 30)
+        chunked = make_retrieve_fn(model, chunk_items=chunk)
+        s1, i1 = whole(params, index, jnp.arange(8), k=7)
+        s2, i2 = chunked(params, index, jnp.arange(8), k=7)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_approx_topk_high_recall(self):
+        """approx_max_k selection must recover (nearly) the exact top-k at
+        small corpus sizes — and exactly match scores for the ids it does
+        return."""
+        model = _make_model(n_items=500, normalize=False)
+        batch = {"uid": jnp.arange(8), "iid": jnp.zeros((8,), jnp.int32)}
+        params = model.init(jax.random.PRNGKey(0), batch, False)
+        index = build_item_index(model, params, num_items=500, batch_size=128,
+                                 dtype=jnp.float32)
+        exact = make_retrieve_fn(model, chunk_items=128)
+        approx = make_retrieve_fn(model, chunk_items=128, approx=True,
+                                  recall_target=0.99)
+        s1, i1 = exact(params, index, jnp.arange(8), k=10)
+        s2, i2 = approx(params, index, jnp.arange(8), k=10)
+        recall = np.mean([np.isin(np.asarray(i2)[b], np.asarray(i1)[b]).mean()
+                          for b in range(8)])
+        assert recall >= 0.9
+        # returned scores must be the true scores of the returned ids
+        full = (np.asarray(model.apply(params, jnp.arange(8),
+                                       method=model.user_vectors))
+                @ np.asarray(index).T)
+        np.testing.assert_allclose(
+            np.asarray(s2), np.take_along_axis(full, np.asarray(i2), axis=1),
+            rtol=1e-4)
+
+    def test_index_bf16_roundtrip(self):
+        model = _make_model(n_items=70)
+        batch = {"uid": jnp.arange(4), "iid": jnp.zeros((4,), jnp.int32)}
+        params = model.init(jax.random.PRNGKey(0), batch, False)
+        index = build_item_index(model, params, num_items=70, batch_size=32)
+        assert index.dtype == jnp.bfloat16 and index.shape == (70, 8)
+
+
+class TestTraining:
+    def test_in_batch_softmax_learns_planted_structure(self):
+        """Users preferring one of two item blocks: after a few steps of
+        in-batch softmax, mean positive rank must beat random."""
+        import optax
+
+        rng = np.random.default_rng(7)
+        n_users, n_items, b = 32, 64, 32
+        model = _make_model(n_users=n_users, n_items=n_items, normalize=False,
+                            emb_size=16, layers=(16,))
+        group = np.arange(n_users) % 2  # user group -> item half
+        loss_fn = get_loss("softmax")
+
+        def sample_batch(step):
+            r = np.random.default_rng(step)
+            uid = r.integers(0, n_users, size=b)
+            half = group[uid]
+            pos = r.integers(0, n_items // 2, size=b) + half * (n_items // 2)
+            neg = r.integers(0, n_items, size=(b, 3))
+            iid = np.concatenate([pos[:, None], neg], axis=1)
+            return {"uid": jnp.asarray(uid), "iid": jnp.asarray(iid)}
+
+        params = model.init(jax.random.PRNGKey(0), sample_batch(0), True)
+        tx = optax.adam(0.05)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, batch):
+            def loss(p):
+                pred, _ = model.apply(p, batch, True,
+                                      rngs={"dropout": jax.random.PRNGKey(2)})
+                return loss_fn(pred)
+
+            g = jax.grad(loss)(params)
+            updates, opt_state = tx.update(g, opt_state)
+            return optax.apply_updates(params, updates), opt_state
+
+        for i in range(60):
+            params, opt_state = step(params, opt_state, sample_batch(i))
+
+        # rank the true half's items above the other half for held-out users
+        eval_batch = sample_batch(10_000)
+        pred, _ = model.apply(params, eval_batch, False)
+        ranks = (np.asarray(pred) >= np.asarray(pred)[:, :1]).sum(axis=1)
+        assert ranks.mean() < 2.0  # random would be ~2.5 on 4 candidates

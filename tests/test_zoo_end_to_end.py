@@ -28,6 +28,8 @@ SMALL_HPARAMS = {
     "deepfm": {"emb_size": 4, "layers": (8,)},
     "dcn": {"emb_size": 4},
     "dcnv2": {"emb_size": 4},
+    "dlrm": {"emb_size": 4, "bottom_layers": (8,), "top_layers": (8,)},
+    "two_tower": {"emb_size": 8, "layers": (8,)},
     "dqn": {"emb_size": 8, "hidden_size": 8},
     "deers": {"emb_size": 8, "hidden_size": 8},
     "lsrl": {"emb_size": 8, "hidden_size": 8},
