@@ -184,9 +184,16 @@ def generate_synthetic_ctr(
     n_dense: int = 13,
     sparse_vocab_sizes: Optional[Dict[str, int]] = None,
     seed: int = 2020,
+    with_conversion: bool = False,
 ) -> str:
     """Criteo-like CTR dataset: dense float features ``d_0..``, sparse
-    categorical features ``c_0..``, binary label with planted structure."""
+    categorical features ``c_0..``, binary label with planted structure.
+
+    ``with_conversion=True`` adds a post-click ``conversion`` label (its own
+    planted structure, nonzero only where ``label``/click is 1 — the real
+    CVR funnel) for the multi-task family (models/multitask.py): SharedBottom
+    /MMoE/PLE train on (label, conversion); ESMM on the entire-space
+    product."""
     rng = np.random.default_rng(seed)
     if sparse_vocab_sizes is None:
         sparse_vocab_sizes = {f"c_{i}": int(v) for i, v in enumerate(
@@ -207,6 +214,19 @@ def generate_synthetic_ctr(
 
     df = pd.DataFrame(data)
     df[C.LABEL] = label
+    if with_conversion:
+        # conversion has its OWN planted structure (reweighted dense terms +
+        # a per-field effect on c_1) and fires only on clicked rows
+        conv_logits = np.zeros(n_rows)
+        for i in range(n_dense):
+            conv_logits += 0.08 * ((i + 1) % 3 - 1) * np.log1p(data[f"d_{i}"])
+        conv_vocab = sparse_vocab_sizes.get("c_1")
+        if conv_vocab:
+            conv_effect = rng.normal(scale=0.4, size=conv_vocab)
+            conv_logits += conv_effect[data["c_1"]]
+        conv = (rng.random(n_rows)
+                < 1 / (1 + np.exp(-(conv_logits - 0.5)))).astype(np.int64)
+        df["conversion"] = (label * conv).astype(np.int64)
     # canonical reader-compatible skeleton: synthetic uid/iid/rate/time so the
     # standard readers (splits, candidate eval, CLI) work on CTR data too
     n_users = max(2, n_rows // 50)
@@ -234,6 +254,8 @@ def generate_synthetic_ctr(
             [FeatureMeta(f"d_{i}", C.NUMERIC_COLUMN) for i in range(n_dense)]
             + [FeatureMeta(name, C.CATEGORICAL_COLUMN, {"vocab": v})
                for name, v in sparse_vocab_sizes.items()]
+            + ([FeatureMeta("conversion", C.CATEGORICAL_COLUMN, {"vocab": 2})]
+               if with_conversion else [])
         ),
     )
     description.save(dataset_name)

@@ -72,12 +72,39 @@ def softmax_ce_loss(prediction: jnp.ndarray, target=None, reduction: str = "mean
     return _reduce(-jax.nn.log_softmax(prediction, axis=-1)[:, 0], reduction)
 
 
+def esmm_loss(prediction: jnp.ndarray, target: jnp.ndarray,
+              reduction: str = "mean") -> jnp.ndarray:
+    """ESMM entire-space loss (Ma et al. 2018 eq. 3), for
+    models/multitask.py::ESMM's ``[B, 2]`` = (ctr_logit, log pCTCVR) layout
+    against targets (click, click*conversion):
+
+    ``bce(ctr_logit, click) + bce_from_logprob(log pCTCVR, ctcvr)``
+
+    both over ALL impressions — the CVR tower is supervised only through
+    the product, which removes conversion's sample-selection bias. The
+    second term's probability arrives in log space (a sum of log-sigmoids,
+    always < 0); ``log(1 - p)`` uses the stable ``log(-expm1(log p))``.
+    """
+    assert prediction.ndim == 2 and prediction.shape[1] == 2, prediction.shape
+    ctr_logit, log_p = prediction[:, 0], prediction[:, 1]
+    click, ctcvr = target[:, 0], target[:, 1]
+    ctr_term = -(click * jax.nn.log_sigmoid(ctr_logit)
+                 + (1.0 - click) * jax.nn.log_sigmoid(-ctr_logit))
+    log_p = jnp.minimum(log_p, -1e-7)  # keep expm1 strictly negative
+    log_not_p = jnp.log(-jnp.expm1(log_p))
+    ctcvr_term = -(ctcvr * log_p + (1.0 - ctcvr) * log_not_p)
+    return _reduce(ctr_term + ctcvr_term, reduction)
+
+
 LOSSES: Registry[Callable] = Registry("loss")
 LOSSES.register("bpr", bpr_loss)
 LOSSES.register("top1", top1_loss)
 LOSSES.register("mse", mse_loss)
 LOSSES.register("bce", bce_loss)
 LOSSES.register("softmax", softmax_ce_loss)
+# "bce" already covers plain multi-task [B, T] logits (elementwise mean =
+# equal-weighted per-task BCE); "esmm" is the entire-space CTR x CVR loss
+LOSSES.register("esmm", esmm_loss)
 
 loss_name_list = list(LOSSES.names())
 

@@ -152,14 +152,51 @@ RANK_METRICS = {"ndcg": NDCG, "hit": Hit}
 POINTWISE_METRICS = {"auc": AUC, "logloss": LogLoss, "mse": MSE}
 
 
+class TaskSlice(Metric):
+    """Per-task view of a pointwise metric over multi-task ``[..., T]``
+    predictions/targets (models/multitask.py): ``auc/0`` = AUC of task 0's
+    column. No reference counterpart (the reference is single-objective)."""
+
+    def __init__(self, inner: Metric, task: int):
+        super().__init__(inner.user_sample_n)
+        self.inner = inner
+        self.task = int(task)
+        self.name = f"{inner.name}/{self.task}"
+
+    def fast_calc(self, pos_ranks):  # pragma: no cover - not rank based
+        raise NotImplementedError(f"{self.name} is pointwise")
+
+    def __call__(self, prediction, target):
+        import numpy as np
+
+        p = np.asarray(prediction)
+        t = np.asarray(target)
+        assert p.ndim >= 2, (
+            f"{self.name} needs multi-task [..., T] predictions, got {p.shape}")
+        return self.inner(p[..., self.task], t[..., self.task])
+
+
+def _is_pointwise(metric: Metric) -> bool:
+    return (type(metric) in POINTWISE_METRICS.values()
+            or isinstance(metric, TaskSlice))
+
+
 def get_metric(metric_name: str, user_sample_n: int = 100) -> Metric:
-    """Parse ``"ndcg@10"`` / ``"hit@5"`` / ``"auc"`` / ``"logloss"``.
+    """Parse ``"ndcg@10"`` / ``"hit@5"`` / ``"auc"`` / ``"logloss"`` /
+    ``"auc/1"`` (task-sliced pointwise metric for multi-task models).
 
     The reference hardcodes ``user_sample_n=99`` (metrics.py:13-14) even though
     eval rows hold 1 positive + 99 negatives = 100 candidates; here the
     candidate-row width is explicit and defaults to 100.
     """
     name = metric_name.strip().lower()
+    if "/" in name:
+        base, task = name.split("/")
+        if base not in POINTWISE_METRICS:
+            raise ValueError(
+                f"unknown metric {metric_name!r} (task slices apply to "
+                f"pointwise metrics: {sorted(POINTWISE_METRICS)})")
+        return TaskSlice(POINTWISE_METRICS[base](user_sample_n), int(task))
     if "@" in name:
         cls_name, k = name.split("@")
         if cls_name not in RANK_METRICS:
@@ -192,7 +229,7 @@ class MetricList:
         logs: Dict[str, float] = {}
         pos_ranks = None
         for metric in self.metrics:
-            if type(metric) in POINTWISE_METRICS.values():
+            if _is_pointwise(metric):
                 logs[metric.name] = float(metric(prediction, target))
             else:
                 if pos_ranks is None:
@@ -234,6 +271,17 @@ class MetricList:
             state["mse_sum"] = jnp.zeros((), dtype=jnp.float32)
         if self._has(LogLoss, MSE):
             state["n_points"] = jnp.zeros((), dtype=jnp.float32)
+        # task-sliced pointwise metrics: own accumulators per metric name
+        for m in self.metrics:
+            if isinstance(m, TaskSlice):
+                if isinstance(m.inner, AUC):
+                    state[f"{m.name}|pos"] = jnp.zeros(self.AUC_BINS,
+                                                       dtype=jnp.float32)
+                    state[f"{m.name}|neg"] = jnp.zeros(self.AUC_BINS,
+                                                       dtype=jnp.float32)
+                else:
+                    state[f"{m.name}|sum"] = jnp.zeros((), dtype=jnp.float32)
+                state["slice_rows"] = jnp.zeros((), dtype=jnp.float32)
         return state
 
     def partial_update(self, state, prediction, target, valid):
@@ -280,6 +328,33 @@ class MetricList:
                 state["mse_sum"] = state["mse_sum"] + jnp.sum(ok * jnp.square(logits - labels))
             if "n_points" in state:
                 state["n_points"] = state["n_points"] + jnp.sum(ok)
+        slices = [m for m in self.metrics if isinstance(m, TaskSlice)]
+        if slices:
+            # multi-task [rows, T] predictions; valid masks leading rows
+            row_ok = (jnp.arange(prediction.shape[0]) < valid).astype(
+                jnp.float32)
+            labels_full = jnp.asarray(target)
+            for m in slices:
+                logits = prediction[..., m.task]
+                labels = labels_full[..., m.task]
+                if isinstance(m.inner, AUC):
+                    p = jax.nn.sigmoid(logits)
+                    bins = jnp.clip((p * self.AUC_BINS).astype(jnp.int32),
+                                    0, self.AUC_BINS - 1)
+                    is_pos = (labels > 0.5).astype(jnp.float32)
+                    state[f"{m.name}|pos"] = state[f"{m.name}|pos"].at[
+                        bins].add(row_ok * is_pos)
+                    state[f"{m.name}|neg"] = state[f"{m.name}|neg"].at[
+                        bins].add(row_ok * (1.0 - is_pos))
+                elif isinstance(m.inner, LogLoss):
+                    ll = -(labels * jax.nn.log_sigmoid(logits)
+                           + (1 - labels) * jax.nn.log_sigmoid(-logits))
+                    state[f"{m.name}|sum"] = (state[f"{m.name}|sum"]
+                                              + jnp.sum(row_ok * ll))
+                else:  # MSE
+                    state[f"{m.name}|sum"] = state[f"{m.name}|sum"] + jnp.sum(
+                        row_ok * jnp.square(logits - labels))
+            state["slice_rows"] = state["slice_rows"] + jnp.sum(row_ok)
         return state
 
     def partial_finalize(self, state) -> Dict[str, float]:
@@ -307,6 +382,23 @@ class MetricList:
                     logs[metric.name] = float(
                         (pos * (cum_neg_below + 0.5 * neg)).sum() / (n_pos * n_neg)
                     )
+            elif isinstance(metric, TaskSlice):
+                if isinstance(metric.inner, AUC):
+                    pos = state[f"{metric.name}|pos"].astype(np.float64)
+                    neg = state[f"{metric.name}|neg"].astype(np.float64)
+                    n_pos, n_neg = pos.sum(), neg.sum()
+                    if n_pos == 0 or n_neg == 0:
+                        logs[metric.name] = 0.5
+                    else:
+                        cum_neg_below = np.concatenate(
+                            [[0.0], np.cumsum(neg)[:-1]])
+                        logs[metric.name] = float(
+                            (pos * (cum_neg_below + 0.5 * neg)).sum()
+                            / (n_pos * n_neg))
+                else:
+                    logs[metric.name] = float(
+                        state[f"{metric.name}|sum"]
+                        / max(state["slice_rows"], 1.0))
             elif isinstance(metric, LogLoss):
                 logs[metric.name] = float(state["logloss_sum"] / max(state["n_points"], 1.0))
             elif isinstance(metric, MSE):

@@ -9,6 +9,7 @@ from pytorchrec_tpu.models.base import RecModel
 from pytorchrec_tpu.models.ctr import DCNv2, DeepFM, DLRM, FM, LR
 from pytorchrec_tpu.models.din import DIN
 from pytorchrec_tpu.models.funk_svd import FunkSVD
+from pytorchrec_tpu.models.multitask import ESMM, MMoE, PLE, SharedBottom
 from pytorchrec_tpu.models.two_tower import TwoTower
 from pytorchrec_tpu.models.gru4rec import GRU4Rec
 from pytorchrec_tpu.models.ncf import NCF
@@ -45,6 +46,10 @@ _MODEL_TO_READER = {
     "dcnv2": (DCNv2, "ctr"),
     "dlrm": (DLRM, "ctr"),
     "two_tower": (TwoTower, "simple"),
+    "shared_bottom": (SharedBottom, "ctr"),
+    "mmoe": (MMoE, "ctr"),
+    "ple": (PLE, "ctr"),
+    "esmm": (ESMM, "ctr"),
     "dqn": (DQNQNet, "value_rl"),
     "deers": (make_deers_qnet, "value_rl"),
     "lsrl": (make_lsrl_qnet, "value_rl"),
@@ -82,6 +87,10 @@ __all__ = [
     "DCNv2",
     "DLRM",
     "TwoTower",
+    "SharedBottom",
+    "MMoE",
+    "PLE",
+    "ESMM",
     "QNet",
     "DQNQNet",
     "BranchQNet",

@@ -156,10 +156,18 @@ def packed_width(emb_dim: int, optimizer: str,
 
 
 def pack_table(table: jnp.ndarray, optimizer: str,
-               min_width: int = _FAST_WIDTH) -> jnp.ndarray:
+               min_width: int = _FAST_WIDTH,
+               dtype: jnp.dtype = None) -> jnp.ndarray:
     """[V, E] table -> [V, W] packed row: table columns, zero-initialized
-    optimizer moments (m||v / acc / row-acc), grad-staging padding."""
+    optimizer moments (m||v / acc / row-acc), grad-staging padding.
+
+    ``dtype`` (default: the table's own) sets the STORAGE dtype of the whole
+    packed row — bf16 halves every row pass's bytes (the latency-optimal
+    exact-ish layout; optimizer math stays f32 inside packed_sparse_update,
+    storage rounds to nearest-even on write)."""
     v, e = table.shape
+    if dtype is not None:
+        table = table.astype(dtype)
     extra = packed_width(e, optimizer, min_width) - e
     return jnp.concatenate([table, jnp.zeros((v, extra), table.dtype)], axis=1)
 
@@ -298,6 +306,14 @@ def packed_sparse_update(
     ``rows`` MUST be ``stop_grad(packed)[ids]`` from the same step (the
     pre-update values the optimizer math needs — re-gathering here would
     waste a per-row pass).
+
+    The packed leaf may be a NARROW dtype (bf16 — SparseEmbeddingTrainer's
+    ``packed_dtype``): every row pass then moves half the bytes (the width
+    rule says fewer bytes win once the column count vectorizes, and unlike
+    the rejected byte-packed f32 layout there is no bitcast/reshape around
+    the row ops — dtype converts are single fused elementwise ops). All
+    optimizer arithmetic stays f32; table/moments/staged-grads round to the
+    storage dtype on write.
     """
     n = ids.shape[0]
     e = dvec.shape[1]
@@ -313,7 +329,7 @@ def packed_sparse_update(
     # stage grads in the padding columns -> ONE fast-width permute moves
     # grads, table and moments together
     staged = jnp.concatenate(
-        [rows[:, :c], dvec,
+        [rows[:, :c], dvec.astype(rows.dtype),
          jnp.zeros((n, w - c - e), rows.dtype)], axis=1)
     moved = staged[order]
     is_start = jnp.concatenate(
@@ -325,11 +341,14 @@ def packed_sparse_update(
     # duplicate grads sum via the segmented scan; each segment's LAST slot
     # holds the total. t/m/v are identical across a segment (same source
     # row), so the last slot already carries them — no reduction needed.
-    g = segmented_sum_scan(moved[:, c:c + e], is_start)
-    t_old = moved[:, :e]
+    # The scan accumulates in f32 regardless of storage dtype (the convert
+    # fuses into the scan's first shift/add pass).
+    g = segmented_sum_scan(moved[:, c:c + e].astype(jnp.float32), is_start)
+    t_old = moved[:, :e].astype(jnp.float32)
 
     if optimizer == "adam":
-        m_old, v_old = moved[:, e:2 * e], moved[:, 2 * e:3 * e]
+        m_old = moved[:, e:2 * e].astype(jnp.float32)
+        v_old = moved[:, 2 * e:3 * e].astype(jnp.float32)
         new_m = b1 * m_old + (1.0 - b1) * g
         new_v = b2 * v_old + (1.0 - b2) * jnp.square(g)
         s = step.astype(jnp.float32)
@@ -337,17 +356,18 @@ def packed_sparse_update(
             jnp.sqrt(new_v / (1.0 - b2 ** s)) + eps)
         new_packed = jnp.concatenate([t_old - delta, new_m, new_v], axis=1)
     elif optimizer == "adagrad":
-        acc_old = moved[:, e:2 * e]
+        acc_old = moved[:, e:2 * e].astype(jnp.float32)
         new_acc = acc_old + jnp.square(g)
         delta = lr * g / (jnp.sqrt(new_acc) + 1e-10)
         new_packed = jnp.concatenate([t_old - delta, new_acc], axis=1)
     else:  # rowwise_adagrad
-        acc_old = moved[:, e]
+        acc_old = moved[:, e].astype(jnp.float32)
         new_acc = acc_old + jnp.mean(jnp.square(g), axis=-1)
         delta = lr * g / (jnp.sqrt(new_acc)[:, None] + eps)
         new_packed = jnp.concatenate(
             [t_old - delta, new_acc[:, None]], axis=1)
 
+    new_packed = new_packed.astype(packed.dtype)
     pad = jnp.zeros((n, w - new_packed.shape[1]), packed.dtype)
     new_packed = jnp.concatenate([new_packed, pad], axis=1)
     # scatter only each segment's last slot; the rest route out of range

@@ -67,11 +67,35 @@ def build_model(model_name: str, reader: DataReader, **hparams) -> Any:
             col for key, col in columns.items()
             if isinstance(col, CategoricalColumnWithIdentity)
             and key not in _NON_FEATURE and col.category_num > 0
+            and key != "conversion"  # a LABEL on multi-task datasets
         ]
         dense = [col for col in columns.values() if isinstance(col, NumericColumn)]
         return factory(
             sparse_columns=tuple(sparse), dense_columns=tuple(dense),
             label_column=columns[C.LABEL], **hparams,
+        )
+    if name in ("shared_bottom", "mmoe", "ple", "esmm"):
+        # task label columns (default: click + conversion) are TARGETS, not
+        # input features — exclude them from the sparse field list
+        task_labels = tuple(hparams.pop("task_labels",
+                                        (C.LABEL, "conversion")))
+        missing = [t for t in task_labels if t not in columns]
+        if missing:
+            raise ValueError(
+                f"multi-task model {model_name!r} needs label columns "
+                f"{missing} in the dataset (generate_synthetic_ctr("
+                f"with_conversion=True) plants a conversion funnel)")
+        sparse = [
+            col for key, col in columns.items()
+            if isinstance(col, CategoricalColumnWithIdentity)
+            and key not in _NON_FEATURE and key not in task_labels
+            and col.category_num > 0
+        ]
+        dense = [col for col in columns.values() if isinstance(col, NumericColumn)]
+        return factory(
+            sparse_columns=tuple(sparse), dense_columns=tuple(dense),
+            label_column=columns[C.LABEL],
+            task_columns=tuple(columns[t] for t in task_labels), **hparams,
         )
     if name in RL_MODELS:
         return _build_rl_model(name, factory, columns, **hparams)

@@ -77,7 +77,8 @@ class SparseEmbeddingTrainer(Trainer):
 
     def __init__(self, model, mesh=None, table_optimizer: str = "adam",
                  rows_injection: bool = None, packed_tables: bool = False,
-                 packed_min_width: int = 64, packed_bytes: bool = False):
+                 packed_min_width: int = 64, packed_bytes: bool = False,
+                 packed_dtype=None):
         assert hasattr(model, "sparse_table_ids"), (
             f"{type(model).__name__} does not implement sparse_table_ids()"
         )
@@ -123,6 +124,21 @@ class SparseEmbeddingTrainer(Trainer):
             self.rows_injection = True if rows_injection is None else rows_injection
         self.packed_tables = packed_tables
         self.packed_bytes = packed_bytes
+        # packed_dtype ("bfloat16"): STORAGE dtype of the packed rows —
+        # halves every latency-bound row pass's bytes vs f32 at the same
+        # (vectorized) column count, with NO bitcast/reshape around the row
+        # ops (what sank the byte-packed f32 layout). Optimizer math stays
+        # f32 (packed_sparse_update converts in fused elementwise ops);
+        # table/moments/staged grads round to bf16 nearest-even on write.
+        # Accuracy cost measured in scripts/quantized_accuracy.py.
+        if packed_dtype is not None:
+            assert packed_tables and not packed_bytes, (
+                "packed_dtype needs packed_tables=True (f32-exact byte rows "
+                "are the packed_bytes option)")
+            packed_dtype = jnp.dtype(packed_dtype)
+            assert packed_dtype in (jnp.dtype(jnp.float32),
+                                    jnp.dtype(jnp.bfloat16)), packed_dtype
+        self.packed_dtype = packed_dtype
         # packed_min_width is in COLUMNS of the packed leaf's dtype: f32
         # columns for packed_tables (64 -> 256 B rows; 128 -> full 512 B
         # vector rows, ~2x table HBM for ~1.5x faster scatters), uint8
@@ -192,10 +208,15 @@ class SparseEmbeddingTrainer(Trainer):
             # the packed width is padded to the fast-row multiple, so the
             # embedding width can't be derived back from the leaf — keep it
             self._table_emb_dims = {p: flat[p].shape[1] for p in table_paths}
-            pack = pack_table_bytes if self.packed_bytes else pack_table
             for path in table_paths:
-                flat2[path] = pack(flat[path], self.table_optimizer,
-                                   self.packed_min_width)
+                if self.packed_bytes:
+                    flat2[path] = pack_table_bytes(
+                        flat[path], self.table_optimizer,
+                        self.packed_min_width)
+                else:
+                    flat2[path] = pack_table(
+                        flat[path], self.table_optimizer,
+                        self.packed_min_width, dtype=self.packed_dtype)
             params = _unflatten(flat2)
             moments = {path: {} for path in table_paths}
             return SparseTrainState(
@@ -359,7 +380,9 @@ class SparseEmbeddingTrainer(Trainer):
                 rows_in = {p: bytes_to_f32(r[:, :4 * emb_dims[p]])
                            for p, r in packed_rows.items()}
             else:
-                rows_in = {p: r[:, :emb_dims[p]]
+                # f32 for the model regardless of storage dtype (a fused
+                # convert; keeps row grads f32 for the update's f32 math)
+                rows_in = {p: r[:, :emb_dims[p]].astype(jnp.float32)
                            for p, r in packed_rows.items()}
 
             # differentiate only the dense sub-tree: the packed table leaves
@@ -473,7 +496,8 @@ class SparseEmbeddingTrainer(Trainer):
                     patched[spec["rows_key"]] = bytes_to_f32(
                         rows[:, :4 * emb_dims[path]])
                 else:
-                    patched[spec["rows_key"]] = rows[:, :emb_dims[path]]
+                    patched[spec["rows_key"]] = (
+                        rows[:, :emb_dims[path]].astype(jnp.float32))
             return model.apply({"params": params}, patched, train=False)
 
         return self._jit_eval_step(eval_step)
@@ -489,7 +513,8 @@ class SparseEmbeddingTrainer(Trainer):
         unpack = unpack_table_bytes if self.packed_bytes else unpack_table
         for path in self._table_paths:
             flat[path] = np.asarray(
-                unpack(jnp.asarray(flat[path]), self._table_emb_dims[path]))
+                unpack(jnp.asarray(flat[path]), self._table_emb_dims[path])
+            ).astype(np.float32)  # bf16 storage -> f32 export
         return _unflatten(flat)
 
     def make_serving_fn(self):

@@ -32,7 +32,7 @@ def make_host_batch(rng):
     return b
 
 
-def build(table_optimizer, packed_bytes):
+def build(table_optimizer, packed_bytes, packed_dtype=None, min_width=64):
     import jax
 
     from pytorchrec_tpu.feature_column import (
@@ -52,6 +52,8 @@ def build(table_optimizer, packed_bytes):
                   layers=(256, 128), unified_embedding=True)
     t = SparseEmbeddingTrainer(model, packed_tables=True,
                                packed_bytes=packed_bytes,
+                               packed_dtype=packed_dtype,
+                               packed_min_width=min_width,
                                table_optimizer=table_optimizer)
     t.compile(optimizer="adam", lr=1e-3, loss="bce", metrics=("auc",),
               matmul_precision="bfloat16")
@@ -76,16 +78,22 @@ def main():
     names = sys.argv[1:] or ["f32/adam", "bytes/adam", "bytes/rowwise",
                              "f32/rowwise"]
     cfg = {
-        "f32/adam": ("adam", False),
-        "bytes/adam": ("adam", True),
-        "bytes/rowwise": ("rowwise_adagrad", True),
-        "f32/rowwise": ("rowwise_adagrad", False),
+        "f32/adam": ("adam", False, None),
+        "bytes/adam": ("adam", True, None),
+        "bytes/rowwise": ("rowwise_adagrad", True, None),
+        "f32/rowwise": ("rowwise_adagrad", False, None),
+        # native bf16 storage: [V, 64] bf16 = 128 B rows, no bitcast
+        "bf16/adam": ("adam", False, "bfloat16"),
+        "bf16/rowwise": ("rowwise_adagrad", False, "bfloat16"),
+        # bf16 at 128 cols: 256 B rows (same bytes as f32/64) but the
+        # emitter is ~1.5-2x faster at 128 columns (isolated probe)
+        "bf16w128/adam": ("adam", False, "bfloat16", 128),
     }
     trainers = {}
     for name in names:
-        opt, pb = cfg[name]
+        opt, pb, pd, *mw = cfg[name]
         print(f"building {name} ...", flush=True)
-        t, dev = build(opt, pb)
+        t, dev = build(opt, pb, pd, *(mw or [64]))
         for i in range(4):  # warm: compile + settle
             loss = t._train_step(dev[i % len(dev)])
         float(loss)

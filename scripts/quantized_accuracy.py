@@ -78,6 +78,28 @@ def run_rowwise(seed: int):
     return logs["auc"], logs["logloss"]
 
 
+def run_bf16_packed(seed: int):
+    """bf16 packed rows (SparseEmbeddingTrainer(packed_dtype='bfloat16')):
+    table + Adam moments stored bf16 (half the HBM of f32), optimizer math
+    f32 — the mildest storage compression, between f32 and int8."""
+    from pytorchrec_tpu.models import DCNv2
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+
+    reader = get_reader(seed)
+    sparse, dense, label = feature_lists(reader)
+    model = DCNv2(sparse_columns=tuple(sparse), dense_columns=tuple(dense),
+                  label_column=label, emb_size=EMB, num_cross_layers=CROSS,
+                  layers=MLP, unified_embedding=True)
+    t = SparseEmbeddingTrainer(model, packed_tables=True,
+                               packed_dtype="bfloat16")
+    t.compile(optimizer="adam", lr=LR, loss="bce",
+              metrics=("auc", "logloss"), user_sample_n=1)
+    t.fit(reader, batch_size=BATCH, epochs=EPOCHS, verbose=0, eval_dev=False,
+          seed=seed)
+    logs = t.evaluate(reader, split="dev", batch_size=BATCH)
+    return logs["auc"], logs["logloss"]
+
+
 def main():
     import jax
 
@@ -93,6 +115,7 @@ def main():
     variants = [
         ("f32", lambda s: run_ours(s)),
         ("f32 rowwise-adagrad", run_rowwise),
+        ("bf16 packed adam", run_bf16_packed),
         ("int8 G=1", lambda s: run_quantized(s, bits=8, col_groups=1)),
         ("int4 G=1", lambda s: run_quantized(s, bits=4, col_groups=1)),
         ("int4 G=4", lambda s: run_quantized(s, bits=4, col_groups=4)),

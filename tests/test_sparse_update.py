@@ -624,6 +624,91 @@ def test_packed_bytes_trainer_bit_identical(dataset_dir, table_optimizer):
         np.asarray(byt.make_serving_fn()(batch)))
 
 
+@pytest.mark.parametrize("optimizer", ["adam", "adagrad", "rowwise_adagrad"])
+def test_packed_bf16_update_bit_predictable(optimizer):
+    """bf16 packed rows = EXACTLY f32 optimizer math over bf16-rounded
+    inputs, outputs rounded to bf16: running the f32 packed update on
+    bf16-rounded table/moments/grads and bf16-rounding its result must
+    reproduce the bf16 path bit-for-bit (same ops, same order — the only
+    difference is the storage dtype's round-to-nearest-even on read/write)."""
+    from pytorchrec_tpu.ops.sparse_update import (
+        PACKED_COLS,
+        pack_table,
+        packed_sparse_update,
+    )
+
+    rng = np.random.default_rng(11)
+    V, E = 300, 16
+    table = jnp.asarray(rng.normal(size=(V, E)), jnp.float32)
+    step = jnp.asarray(4, jnp.int32)
+    c = PACKED_COLS[optimizer](E)
+    state_cols = jnp.asarray(
+        np.abs(rng.normal(size=(V, c - E))) * 0.1, jnp.float32)
+
+    for ids_np in (
+        np.concatenate([np.full(40, 7), rng.integers(0, V, size=88)]),
+        rng.integers(0, V, size=64),
+    ):
+        ids = jnp.asarray(ids_np.astype(np.int32))
+        dvec = jnp.asarray(rng.normal(size=(ids.shape[0], E)), jnp.float32)
+
+        pk16 = pack_table(table, optimizer, dtype=jnp.bfloat16)
+        pk16 = pk16.at[:, E:c].set(state_cols.astype(jnp.bfloat16))
+        out16 = packed_sparse_update(pk16, pk16[ids], ids, dvec, step,
+                                     lr=0.01, optimizer=optimizer)
+        assert out16.dtype == jnp.bfloat16
+
+        # f32 twin over bf16-rounded inputs
+        pk = pack_table(table.astype(jnp.bfloat16).astype(jnp.float32),
+                        optimizer)
+        pk = pk.at[:, E:c].set(
+            state_cols.astype(jnp.bfloat16).astype(jnp.float32))
+        dvec_r = dvec.astype(jnp.bfloat16).astype(jnp.float32)
+        out = packed_sparse_update(pk, pk[ids], ids, dvec_r, step,
+                                   lr=0.01, optimizer=optimizer)
+        np.testing.assert_array_equal(
+            np.asarray(out16[:, :c].astype(jnp.float32)),
+            np.asarray(out[:, :c].astype(jnp.bfloat16).astype(jnp.float32)))
+
+
+def test_packed_bf16_trainer_close_to_f32(dataset_dir):
+    """SparseEmbeddingTrainer(packed_dtype='bfloat16'): 128-byte rows train
+    to eval metrics close to the f32 packed path, table leaves really are
+    bf16, and serving exports f32."""
+    from pytorchrec_tpu.tasks import build_model
+    from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
+
+    def run(dtype):
+        reader = _reader()
+        model = build_model("fm", reader, emb_size=8, unified_embedding=True)
+        t = SparseEmbeddingTrainer(model, packed_tables=True,
+                                   packed_dtype=dtype)
+        t.compile(optimizer="adam", lr=0.05, loss="bce", metrics=("hit@5",),
+                  user_sample_n=10)
+        t.fit(reader, batch_size=32, epochs=2, verbose=0, eval_dev=False,
+              seed=11)
+        return t, reader, t.evaluate(reader, split="dev", batch_size=32)
+
+    f32, _, m_f32 = run(None)
+    b16, reader, m_b16 = run("bfloat16")
+
+    flat = {"/".join(str(getattr(k, "key", k)) for k in p): leaf
+            for p, leaf in
+            jax.tree_util.tree_flatten_with_path(b16.state.params)[0]}
+    for path in b16._table_paths:
+        assert flat[path].dtype == jnp.bfloat16, path
+
+    for key in m_f32:
+        assert float(m_b16[key]) == pytest.approx(float(m_f32[key]), abs=0.1)
+
+    # serving unpacks to f32 and scores close to the f32 trainer
+    batch = reader.get_batch("train", np.arange(4))
+    s16 = np.asarray(b16.make_serving_fn()(batch))
+    s32 = np.asarray(f32.make_serving_fn()(batch))
+    assert s16.dtype == np.float32
+    np.testing.assert_allclose(s16, s32, atol=0.15)
+
+
 def test_rows_injection_auto_resolution(dataset_dir):
     """Auto mode: on for unified CTR (all tables injectable), off for the
     per-field layout (sharded_table_specs asserts)."""
