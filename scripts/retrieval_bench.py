@@ -74,10 +74,14 @@ def main():
     exact_ids = None
     for mode, approx in (("exact lax.top_k", False),
                          ("approx_max_k r=0.99", True),
-                         ("approx_max_k r=0.95", 0.95)):
-        recall = approx if isinstance(approx, float) else 0.99
-        retrieve = make_retrieve_fn(model, approx=bool(approx),
-                                    recall_target=recall)
+                         ("approx_max_k r=0.95", 0.95),
+                         ("pallas fused bin-max", "fused")):
+        if approx == "fused":
+            retrieve = make_retrieve_fn(model, approx="fused")
+        else:
+            recall = approx if isinstance(approx, float) else 0.99
+            retrieve = make_retrieve_fn(model, approx=bool(approx),
+                                        recall_target=recall)
 
         def one_call(ids):
             scores, top_ids = retrieve(params, index, ids, K)

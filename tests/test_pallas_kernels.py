@@ -177,3 +177,87 @@ def test_seg_scan_kernel_single_and_all_heads():
         jnp.asarray(x), jnp.asarray(heads), block_rows=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.cumsum(x, axis=0),
                                rtol=1e-4, atol=1e-5)
+
+
+def _naive_bin_max(q, items, tc, group):
+    """Numpy re-derivation of the bin-max contract: per super-chunk of
+    tc*group corpus rows, bin l = max over local ids with id % 128 == l,
+    ties -> lowest id; corpus-tail pad entries score PAD_SCORE (the
+    kernel's pad-flag-column construction)."""
+    from pytorchrec_tpu.ops.kernels.retrieval_topk import PAD_SCORE
+
+    scores = (q.astype(np.float32) @ items.astype(np.float32).T)
+    b, v = scores.shape
+    sup = tc * group
+    vp = -(-v // sup) * sup
+    pad = np.full((b, vp - v), PAD_SCORE, np.float32)
+    s = np.concatenate([scores, pad], axis=1)
+    n_super = vp // sup
+    s = s.reshape(b, n_super, sup // 128, 128)
+    vals = s.max(axis=2)
+    arg = s.argmax(axis=2).astype(np.int32)
+    lane = np.arange(128, dtype=np.int32)[None, None, :]
+    base = (np.arange(n_super, dtype=np.int32) * sup)[None, :, None]
+    idx = base + arg * 128 + lane
+    return vals.reshape(b, -1), idx.reshape(b, -1)
+
+
+@pytest.mark.parametrize("v,tc,group", [(1024, 256, 2), (1000, 256, 2),
+                                        (700, 256, 4)])
+def test_retrieval_bin_max_kernel_matches_naive(v, tc, group):
+    """Fused score+bin-max kernel (interpret mode) and its XLA twin both
+    reproduce the numpy bin contract, incl. ragged corpus tails (pad rows
+    masked to -inf) and ragged query tiles."""
+    from pytorchrec_tpu.ops.kernels.retrieval_topk import (
+        bin_max_scores_pallas,
+        bin_max_scores_xla,
+    )
+
+    rng = np.random.default_rng(9)
+    q = rng.normal(size=(37, 16)).astype(np.float32)
+    items = rng.normal(size=(v, 16)).astype(np.float32)
+    want_vals, want_idx = _naive_bin_max(q, items, tc, group)
+
+    for fn in (
+        lambda: bin_max_scores_pallas(jnp.asarray(q), jnp.asarray(items),
+                                      tb=16, tc=tc, group=group,
+                                      interpret=True),
+        lambda: bin_max_scores_xla(jnp.asarray(q), jnp.asarray(items),
+                                   tc=tc, group=group),
+    ):
+        vals, idx = fn()
+        # chunked-vs-full matmul accumulation order: ~1e-7 absolute noise
+        np.testing.assert_allclose(np.asarray(vals), want_vals,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+def test_retrieval_fused_topk_high_recall():
+    """make_retrieve_fn(approx='fused') (XLA twin on CPU): returned ids'
+    scores are exact, recall vs exact top-k is high on random scores."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_two_tower import _make_model
+    from pytorchrec_tpu.serving.retrieval import (
+        build_item_index,
+        make_retrieve_fn,
+    )
+
+    model = _make_model(n_items=800, normalize=False)
+    batch = {"uid": jnp.arange(8), "iid": jnp.zeros((8,), jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), batch, False)
+    index = build_item_index(model, params, num_items=800, batch_size=128,
+                             dtype=jnp.float32)
+    exact = make_retrieve_fn(model, chunk_items=256)
+    fused = make_retrieve_fn(model, approx="fused")
+    s1, i1 = exact(params, index, jnp.arange(8), k=10)
+    s2, i2 = fused(params, index, jnp.arange(8), k=10)
+    u_vec = np.asarray(model.apply(params, jnp.arange(8),
+                                   method=model.user_vectors))
+    full = u_vec @ np.asarray(index).T
+    np.testing.assert_allclose(
+        np.asarray(s2), np.take_along_axis(full, np.asarray(i2), axis=1),
+        rtol=1e-4)
+    recall = np.mean([np.isin(np.asarray(i2)[b], np.asarray(i1)[b]).mean()
+                      for b in range(8)])
+    assert recall >= 0.8, recall
