@@ -11,5 +11,18 @@ a sample batch with expected outputs for verification. The consumer is
 """
 
 from pytorchrec_tpu.serving.bundle import export_serving_bundle, shim_binary_path
+from pytorchrec_tpu.serving.retrieval import (
+    build_item_index,
+    make_retrieve_fn,
+    make_sharded_retrieve_fn,
+    shard_item_index,
+)
 
-__all__ = ["export_serving_bundle", "shim_binary_path"]
+__all__ = [
+    "export_serving_bundle",
+    "shim_binary_path",
+    "build_item_index",
+    "make_retrieve_fn",
+    "make_sharded_retrieve_fn",
+    "shard_item_index",
+]

@@ -119,6 +119,117 @@ def _fused_topk(u_vec, item_index, k, scale=None, group=16):
     return top_vals, jnp.take_along_axis(idx, sel, axis=1)
 
 
+def shard_item_index(item_index: jnp.ndarray, mesh,
+                     corpus_axis="model") -> jnp.ndarray:
+    """Pad ``[V, D]`` to a multiple of the corpus-shard count and place it
+    row-sharded over ``corpus_axis`` (replicated over the other mesh axes).
+
+    Pad rows are zero vectors; ``make_sharded_retrieve_fn`` masks them by
+    global id, so the true ``num_items`` must be passed there.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axes = (corpus_axis,) if isinstance(corpus_axis, str) else tuple(corpus_axis)
+    n_shards = int(np.prod([mesh.shape[a] for a in axes]))
+    v = item_index.shape[0]
+    vp = -(-v // n_shards) * n_shards
+    if vp != v:
+        item_index = jnp.pad(item_index, ((0, vp - v), (0, 0)))
+    spec = PartitionSpec(axes[0] if len(axes) == 1 else axes)
+    return jax.device_put(item_index, NamedSharding(mesh, spec))
+
+
+def make_sharded_retrieve_fn(model, mesh, num_items: int,
+                             temperature: Optional[float] = None,
+                             chunk_items: int = 65536, approx=False,
+                             recall_target: float = 0.99,
+                             fused_group: int = 16,
+                             corpus_axis="model"):
+    """Multi-chip ``make_retrieve_fn``: corpus rows sharded over
+    ``corpus_axis``, queries sharded over the remaining mesh axes.
+
+    Layout (SURVEY §5.8 serving recipe): each device scores its corpus
+    shard locally (the same fused-Pallas / approx / exact selection as the
+    single-chip path), keeps its local top-k, and ONE ``all_gather`` of
+    ``[B_local, k]`` candidates per corpus axis merges shards — the only
+    collective in the step, carrying ``k`` rows per shard instead of the
+    scores matrix. The final cross-shard ``top_k`` is exact, so recall loss
+    is bounded by the per-shard selection exactly as in the single-chip
+    path.
+
+    * ``corpus_axis="model"`` (default): index sharded over ``model``,
+      queries sharded over ``data`` — the production serving layout (a
+      [1M, 128] bf16 index is 256 MB; 8-way sharding leaves 32 MB/chip).
+    * ``corpus_axis=("data", "model")``: index sharded over the whole mesh
+      (max corpus per pod), queries replicated.
+
+    ``num_items`` is the TRUE corpus size — ``shard_item_index`` pads to a
+    shard multiple and pad rows are masked here by global id. In fused
+    mode a pad row can shadow a lower-scoring valid candidate inside its
+    bin (pad rows affect at most the last shard's final 128-lane bins);
+    exact/approx modes mask scores before selection, so they lose nothing.
+
+    Returns ``retrieve(params, sharded_index, u_ids, k)`` -> sharded
+    ``(scores, ids)`` laid out like the queries.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    scale = temperature if temperature is not None else (
+        model.temperature if model.normalize else None)
+    corpus_axes = ((corpus_axis,) if isinstance(corpus_axis, str)
+                   else tuple(corpus_axis))
+    query_axes = tuple(a for a in mesh.axis_names if a not in corpus_axes)
+    n_shards = int(np.prod([mesh.shape[a] for a in corpus_axes]))
+
+    def local_retrieve(params, index_local, u_ids_local, k):
+        u_vec = model.apply(params, u_ids_local, method=model.user_vectors)
+        rows_local = index_local.shape[0]
+        shard = jnp.int32(0)
+        for a in corpus_axes:  # row-major over corpus_axes, matching
+            shard = shard * mesh.shape[a] + jax.lax.axis_index(a)  # all_gather
+        base = shard * rows_local
+        if approx == "fused":
+            from pytorchrec_tpu.ops.kernels import use_pallas_default
+            from pytorchrec_tpu.ops.kernels.retrieval_topk import (
+                bin_max_scores_pallas,
+                bin_max_scores_xla,
+            )
+
+            bin_max = (bin_max_scores_pallas if use_pallas_default()
+                       else bin_max_scores_xla)
+            vals, idx = bin_max(u_vec, index_local, group=fused_group)
+            gidx = base + idx
+            vals = jnp.where(gidx < num_items, vals, -jnp.inf)
+            if scale is not None:
+                vals = vals / scale
+            s, sel = jax.lax.top_k(vals, k)
+            gi = jnp.take_along_axis(gidx, sel, axis=1)
+        else:
+            s, li = _topk_scores(u_vec, index_local, k, scale, chunk_items,
+                                 approx, recall_target,
+                                 n_valid=num_items - base)
+            gi = base + li
+        all_s = jax.lax.all_gather(s, corpus_axes, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(gi, corpus_axes, axis=1, tiled=True)
+        s2, sel2 = jax.lax.top_k(all_s, k)
+        return s2, jnp.take_along_axis(all_i, sel2, axis=1)
+
+    corpus_spec = P(corpus_axes[0] if len(corpus_axes) == 1 else corpus_axes)
+    query_spec = P(query_axes[0] if len(query_axes) == 1 else
+                   (query_axes or None))
+    out_spec = (query_spec, query_spec)
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def retrieve(params, item_index, u_ids, k):
+        return jax.shard_map(
+            functools.partial(local_retrieve, k=k), mesh=mesh,
+            in_specs=(P(), corpus_spec, query_spec), out_specs=out_spec,
+            check_vma=False,
+        )(params, item_index, u_ids)
+
+    return retrieve
+
+
 def _chunk_scores(u_vec, chunk, scale):
     scores = jax.lax.dot_general(
         u_vec.astype(chunk.dtype), chunk,
@@ -132,15 +243,25 @@ def _chunk_scores(u_vec, chunk, scale):
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _topk_scores(u_vec, item_index, k, scale=None, chunk_items=65536,
-                 approx=False, recall_target=0.99):
+                 approx=False, recall_target=0.99, n_valid=None):
+    """``n_valid`` (traced, optional): rows of ``item_index`` at/after this
+    count are pad rows — masked to -inf BEFORE selection (the sharded
+    path's global-tail pad; see make_sharded_retrieve_fn)."""
     def block_topk(scores):
         if approx:
             return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
         return jax.lax.top_k(scores, k)
 
+    def mask_valid(scores, offset):
+        if n_valid is None:
+            return scores
+        col_ids = offset + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        return jnp.where(col_ids < n_valid, scores, -jnp.inf)
+
     num_items = item_index.shape[0]
     if num_items <= chunk_items:
-        return block_topk(_chunk_scores(u_vec, item_index, scale))
+        return block_topk(mask_valid(_chunk_scores(u_vec, item_index, scale),
+                                     0))
 
     n_chunks = -(-num_items // chunk_items)
     if num_items % n_chunks == 0:
@@ -163,6 +284,7 @@ def _topk_scores(u_vec, item_index, k, scale=None, chunk_items=65536,
         if padded != num_items:  # mask pad rows out of the last chunk
             col_ids = offset + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             scores = jnp.where(col_ids < num_items, scores, -jnp.inf)
+        scores = mask_valid(scores, offset)
         s, i = block_topk(scores)
         cat_s = jnp.concatenate([best_s, s], axis=1)
         cat_i = jnp.concatenate([best_i, i + offset], axis=1)
