@@ -290,9 +290,17 @@ class _CTRBase(RecModel):
     def sharded_table_specs(self, batch: Batch):
         """Explicit sharded-table protocol
         (training/sharded_sparse_trainer.py). Requires the unified layout
-        (one offset-indexed table = one exchange per step instead of F)."""
-        assert self.unified_embedding and not self.quantized_embedding, (
-            "explicit sharding needs unified_embedding=True (f32 rows)"
+        (one offset-indexed table = one exchange per step instead of F).
+
+        Quantized tables shard too (VERDICT r3 #1): with
+        ``quantized_embedding=True`` the spec carries a ``"quantized"``
+        block and points at the packed byte-row leaf ``unified_q``
+        (``table_packed=True`` required — the per-shard update needs the
+        scale + accumulator riding in the row). The exchange then ships
+        int8 rows + scales on the lookup return hop (~4x fewer bytes than
+        f32 E-columns; 8x at int4)."""
+        assert self.unified_embedding, (
+            "explicit sharding needs unified_embedding=True"
         )
         sparse, _, _ = _gather_fields(batch, self.sparse_columns, self.dense_columns)
         ids = self._unified_ids_from(sparse)
@@ -301,8 +309,21 @@ class _CTRBase(RecModel):
             specs["unified_lin"] = {"path": "unified_lin/embedding", "ids": ids,
                                     "rows_key": self.LIN_ROWS_KEY}
         if self._uses_field_embeddings:
-            specs["unified"] = {"path": "unified_emb/embedding", "ids": ids,
-                                "rows_key": self.ROWS_KEY}
+            if self.quantized_embedding:
+                assert self.table_packed, (
+                    "sharded quantized tables need table_packed=True "
+                    "(q||scale||acc byte rows; the owner-shard update reads "
+                    "them in-row)"
+                )
+                specs["unified"] = {
+                    "path": "unified_q", "ids": ids, "rows_key": self.ROWS_KEY,
+                    "quantized": {"bits": self.table_bits,
+                                  "col_groups": self.scale_col_groups,
+                                  "emb_size": self.emb_size},
+                }
+            else:
+                specs["unified"] = {"path": "unified_emb/embedding", "ids": ids,
+                                    "rows_key": self.ROWS_KEY}
         return specs
 
     def _unified_ids_from(self, sparse) -> jnp.ndarray:

@@ -134,3 +134,48 @@ def quantize_rows_pallas(rows: jnp.ndarray, rng_bits: jnp.ndarray,
         interpret=interpret,
     )(rows, rng_bits)
     return q[:n], scale[:n, 0]
+
+
+def id_keyed_rounding_bits(ids: jnp.ndarray, e: int,
+                           salt: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic stochastic-rounding bits keyed by (row id, column, salt).
+
+    Counter-based uint32 hash (triple32-style finalizer): bits depend only on
+    the GLOBAL row id, the column index and a per-(table, step) ``salt`` —
+    never on slot position, device, or sharding layout. That makes the
+    quantized update's stochastic rounding REPRODUCIBLE across layouts: the
+    single-device packed trainer, the model-axis-sharded trainer and the
+    grid-sharded trainer all draw the identical rounding decision for the
+    same row value (training/sharded_sparse_trainer.py quantized path), so
+    cross-layout parity holds to float-reassociation noise instead of
+    diverging by independent rounding streams.
+
+    ``ids [n]`` int, ``salt`` scalar uint32 (see ``table_rounding_salt``).
+    Returns [n, e] uint32.
+    """
+    x = ids.astype(jnp.uint32)[:, None] * jnp.uint32(0x9E3779B1)
+    x = x + jnp.arange(e, dtype=jnp.uint32)[None, :] * jnp.uint32(0x85EBCA77)
+    x = x ^ salt.astype(jnp.uint32)
+    x = x ^ (x >> 17)
+    x = x * jnp.uint32(0xED5AD4BB)
+    x = x ^ (x >> 11)
+    x = x * jnp.uint32(0xAC4C1B51)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x31848BAB)
+    x = x ^ (x >> 14)
+    return x
+
+
+def table_rounding_salt(rng: jnp.ndarray, step: jnp.ndarray,
+                        path: str) -> jnp.ndarray:
+    """Per-(table, step) salt for ``id_keyed_rounding_bits``.
+
+    Derived from the train state's PRNG key and the table's parameter path
+    string, so trainers that share a seed draw the same salt for the same
+    table regardless of sharding layout (the path string is the stable
+    cross-trainer identity; a positional table index would not be)."""
+    import zlib
+
+    key = jax.random.fold_in(rng, zlib.crc32(path.encode()) & 0x7FFFFFFF)
+    base = jax.random.bits(key, (), jnp.uint32)
+    return base ^ (step.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))

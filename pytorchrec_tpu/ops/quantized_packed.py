@@ -117,6 +117,8 @@ def packed_quantized_update(
     bits: int = 8,
     col_groups: int = 1,
     eps: float = 1e-6,
+    rng_salt=None,          # scalar uint32: id-keyed bits (see below)
+    ids_offset=0,           # local-id -> global-id shift for the bit keying
 ) -> jnp.ndarray:
     """Rowwise-Adagrad + stochastic requantize over the packed byte rows —
     3 fast row passes total, same structure as ``packed_sparse_update``:
@@ -125,6 +127,14 @@ def packed_quantized_update(
     slot. Same lazy semantics as the classic quantized trainer's update
     (training/quantized_trainer.py:147-178); ``rows`` must be the
     pre-update forward gather.
+
+    Rounding bits: either positional ``rng_bits`` (consumed in id-sorted
+    slot order) or — the layout-independent option — ``rng_salt``, which
+    derives the bits INTERNALLY from the sorted ids via
+    ``id_keyed_rounding_bits(ids + ids_offset, E, salt)``. ``ids_offset``
+    lifts shard-local ids back to the global id space so every sharding
+    layout keys the same row identically (the sharded trainer passes its
+    shard's row offset).
     """
     n, e = dvec.shape
     w = packed.shape[1]
@@ -155,6 +165,11 @@ def packed_quantized_update(
 
     acc_new = acc_old + jnp.mean(jnp.square(g), axis=-1)
     new_rows = current - lr * g / (jnp.sqrt(acc_new)[:, None] + eps)
+    if rng_salt is not None:
+        assert rng_bits is None, "pass rng_bits OR rng_salt, not both"
+        from pytorchrec_tpu.ops.kernels.quantize import id_keyed_rounding_bits
+
+        rng_bits = id_keyed_rounding_bits(sorted_ids + ids_offset, e, rng_salt)
     q_new, s_new = quantize_rows_xla(new_rows, rng_bits=rng_bits, bits=bits,
                                      col_groups=col_groups)
     s2 = s_new[:, None] if col_groups == 1 else s_new

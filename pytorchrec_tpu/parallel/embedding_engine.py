@@ -191,7 +191,10 @@ def all_to_all_lookup(table_shard: jnp.ndarray, ids: jnp.ndarray,
     sorted_vectors = back[jnp.minimum(r.sorted_owner, m - 1),
                           jnp.minimum(pos, c - 1)]  # [b, E]
     if valid is not None:
-        sorted_vectors = jnp.where(slot_ok[:, None], sorted_vectors, 0.0)
+        # dtype-safe zero: quantized tables route uint8 byte rows through
+        # this path, and a python 0.0 would silently promote them to f32
+        sorted_vectors = jnp.where(slot_ok[:, None], sorted_vectors,
+                                   jnp.zeros((), sorted_vectors.dtype))
     vectors = sorted_vectors[r.inverse]
     if capacity is None or c == b:
         return vectors
@@ -250,9 +253,10 @@ def _exchange_rowgrads(my_ids: jnp.ndarray, my_grads: jnp.ndarray,
     send_ids = jnp.full((n_shards, c), sentinel, dtype=my_ids.dtype)
     send_ids = send_ids.at[r.sorted_owner, pos].set(
         jnp.where(fits, sorted_ids, sentinel), mode="drop")
+    zero = jnp.zeros((), my_grads.dtype)  # dtype-safe (u8 qgrad payloads)
     send_grads = jnp.zeros((n_shards, c, my_grads.shape[-1]), my_grads.dtype)
     send_grads = send_grads.at[r.sorted_owner, pos].set(
-        jnp.where(fits[:, None], sorted_grads, 0.0), mode="drop")
+        jnp.where(fits[:, None], sorted_grads, zero), mode="drop")
 
     recv_ids = jax.lax.all_to_all(send_ids, axis_name, split_axis=0,
                                   concat_axis=0, tiled=False)
@@ -268,7 +272,7 @@ def _exchange_rowgrads(my_ids: jnp.ndarray, my_grads: jnp.ndarray,
     any_over = jax.lax.psum(
         jnp.sum(((~fits) & valid).astype(jnp.int32)), axis_name) > 0
     ov_ids = jnp.where(fits, sentinel, sorted_ids)
-    ov_grads = jnp.where(fits[:, None], 0.0, sorted_grads)
+    ov_grads = jnp.where(fits[:, None], zero, sorted_grads)
     me = jax.lax.axis_index(axis_name)
 
     def gathered(_):
@@ -277,7 +281,7 @@ def _exchange_rowgrads(my_ids: jnp.ndarray, my_grads: jnp.ndarray,
         mine = (jnp.clip(gi // rows_per_shard, 0, n_shards - 1) == me) & (
             gi < sentinel)
         return (jnp.where(mine, gi, sentinel),
-                jnp.where(mine[:, None], gg, 0.0))
+                jnp.where(mine[:, None], gg, zero))
 
     def empty(_):
         return (jnp.full((n_shards * k,), sentinel, my_ids.dtype),

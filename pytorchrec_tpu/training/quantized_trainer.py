@@ -31,7 +31,12 @@ import jax
 import jax.numpy as jnp
 from flax import traverse_util
 
-from pytorchrec_tpu.ops.kernels.quantize import dequantize_rows, quantize_rows_xla
+from pytorchrec_tpu.ops.kernels.quantize import (
+    dequantize_rows,
+    id_keyed_rounding_bits,
+    quantize_rows_xla,
+    table_rounding_salt,
+)
 from pytorchrec_tpu.ops.sparse_update import dedup_row_grads
 from pytorchrec_tpu.training.state import TrainState
 from pytorchrec_tpu.training.trainer import Trainer
@@ -178,17 +183,16 @@ class QuantizedEmbeddingTrainer(Trainer):
 
             step = state.step + 1
             flat = dict(_flatten(params))
-            for table_index, (name, table) in enumerate(spec.items()):
+            for name, table in spec.items():
                 info = packed_specs[name]
-                rng_bits = jax.random.bits(
-                    jax.random.fold_in(step_rng, 1 + table_index),
-                    row_grads[name].shape, jnp.uint32,
-                )
+                # id-keyed rounding bits (layout-independent): the sharded
+                # trainer draws the identical stream for the same rows
+                salt = table_rounding_salt(state.rng, step, table["q"])
                 flat[table["q"]] = packed_quantized_update(
                     flat[table["q"]], packed_rows[name], ids_map[name],
-                    row_grads[name], rng_bits, table_lr,
+                    row_grads[name], None, table_lr,
                     bits=info["bits"], col_groups=info["col_groups"],
-                    eps=eps)
+                    eps=eps, rng_salt=salt)
 
             new_state = state.replace(
                 params=_unflatten(flat), opt_state=opt_state, step=step,
@@ -266,7 +270,7 @@ class QuantizedEmbeddingTrainer(Trainer):
             step = state.step + 1
             flat = dict(_flatten(params))
             acc_out = dict(state.table_acc)
-            for table_index, (name, table) in enumerate(spec.items()):
+            for name, table in spec.items():
                 g = dedup_row_grads(ids_map[name], row_grads[name])
                 acc_rows = acc_out[name][g.ids]
                 acc_new = acc_rows + jnp.mean(jnp.square(g.rows), axis=-1)
@@ -278,12 +282,12 @@ class QuantizedEmbeddingTrainer(Trainer):
                 current = dequantize_rows(q[g.ids], s[g.ids], bits=table_bits,
                                           col_groups=col_groups)
                 new_rows = current - delta
-                # per-table RNG stream: fold the table index so same-shape
-                # tables don't share stochastic-rounding noise
-                rng_bits = jax.random.bits(
-                    jax.random.fold_in(step_rng, 1 + table_index),
-                    new_rows.shape, jnp.uint32,
-                )
+                # id-keyed rounding bits: keyed by (global row id, column,
+                # per-table salt), so the packed and sharded layouts draw
+                # the identical rounding stream for the same rows
+                salt = table_rounding_salt(state.rng, step, table["q"])
+                rng_bits = id_keyed_rounding_bits(
+                    g.ids, new_rows.shape[1], salt)
                 q_new, s_new = quantize_rows_xla(new_rows, rng_bits=rng_bits,
                                                  bits=table_bits,
                                                  col_groups=col_groups)

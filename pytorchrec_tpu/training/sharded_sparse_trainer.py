@@ -106,9 +106,23 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                  hot_counts=None, hot_rows=0.9,
                  exchange_capacity: float | int | None = None,
                  packed_tables: bool = False, packed_min_width: int = 64,
-                 two_hop: bool = False):
+                 two_hop: bool = False, packed_dtype=None,
+                 qgrad_exchange: bool = False):
         assert mesh is not None, "ShardedSparseEmbeddingTrainer requires a mesh"
         assert strategy in ("1d", "grid", "hot_cold"), strategy
+        # qgrad_exchange: int8-compress the row-grad payload on the backward
+        # exchange — each occurrence grad ships as q int8 + one f32 scale
+        # (E + 4 bytes vs 4E), dequantized at the owner. ~4x less backward
+        # ICI/DCN traffic at a one-rounding-per-occurrence accuracy cost
+        # (measured in scripts/quantized_accuracy.py). Not composed with
+        # two_hop (its mid-route combine sums grads in transit) or hot_cold
+        # (hot grads never leave the device); tables of width <= 4 ship f32
+        # (the scale byte overhead would exceed the payload).
+        assert not (qgrad_exchange and two_hop), (
+            "qgrad_exchange does not compose with two_hop (in-transit sums)")
+        assert not (qgrad_exchange and strategy == "hot_cold"), (
+            "qgrad_exchange does not compose with hot_cold")
+        self.qgrad_exchange = qgrad_exchange
         # packed fast-width rows (FUTURE 5b propagation): each table SHARD
         # becomes [V/shards, W] table||moments||staging and the per-shard
         # update runs ops/sparse_update.py::packed_sparse_update — 3 fast
@@ -155,17 +169,28 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         self._hot_layouts = {}  # param path -> HotColdLayout (set at _make_state)
         super().__init__(model, mesh=mesh, table_optimizer=table_optimizer,
                          packed_tables=packed_tables,
-                         packed_min_width=packed_min_width)
+                         packed_min_width=packed_min_width,
+                         packed_dtype=packed_dtype)
 
     # ------------------------------------------------------------------
     # state layout
     # ------------------------------------------------------------------
 
     def _declared_table_paths(self, sample_batch):
-        return {
-            spec["path"]
-            for spec in self.model.sharded_table_specs(sample_batch).values()
+        specs = self.model.sharded_table_specs(sample_batch)
+        # quantized packed byte-row tables announce themselves via the
+        # spec's "quantized" block (models/ctr.py::sharded_table_specs);
+        # their leaves are already packed by the model init and update via
+        # packed_quantized_update with id-keyed stochastic rounding
+        self._q_info = {
+            spec["path"]: dict(spec["quantized"])
+            for spec in specs.values() if spec.get("quantized")
         }
+        assert not self._q_info or self.packed_tables, (
+            "sharded quantized tables require packed_tables=True (the "
+            "trainer's packed machinery carries the byte rows)"
+        )
+        return {spec["path"] for spec in specs.values()}
 
     def _resolve_hot_layouts(self, sample_batch, flat_params):
         """Build per-table HotColdLayout from ``hot_counts`` (static numpy;
@@ -344,6 +369,54 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         hot_perms = {p: jnp.asarray(lo.perm) for p, lo in hot_layouts.items()}
         use_packed = self.packed_tables
         emb_dims = dict(self._table_emb_dims) if use_packed else {}
+        q_info = dict(self._q_info)
+        q_full_shapes = dict(getattr(self, "_q_full_shapes", {}))
+        qgrad = self.qgrad_exchange
+
+        from pytorchrec_tpu.ops.kernels.quantize import (
+            quantize_rows_xla,
+            table_rounding_salt,
+        )
+        from pytorchrec_tpu.ops.quantized_packed import (
+            dequant_packed_rows,
+            packed_quantized_update,
+            q_row_bytes,
+        )
+        from pytorchrec_tpu.ops.sparse_update import bytes_to_f32, f32_to_bytes
+
+        def _out_cols(path):
+            """Columns each looked-up row ships on the return hop: E for
+            packed f32/bf16 rows, the q||scale byte prefix for quantized
+            rows (int8 rows + scales ON THE WIRE — the exchange never
+            carries dequantized f32), None (full row) otherwise."""
+            if path in q_info:
+                i = q_info[path]
+                return (q_row_bytes(i["emb_size"], i["bits"])
+                        + 4 * i["col_groups"])
+            return emb_dims.get(path)
+
+        def _model_rows(path, raw):
+            """Looked-up wire rows -> f32 rows for the model: dequantize
+            q||scale bytes, upcast bf16 storage; f32 passes through."""
+            if path in q_info:
+                i = q_info[path]
+                return dequant_packed_rows(raw, i["emb_size"], i["bits"],
+                                           i["col_groups"])
+            if use_packed:
+                return raw.astype(jnp.float32)
+            return raw
+
+        def _qgrad_pack(g):
+            """[n, E] f32 -> [n, E+4] u8: per-row int8 + bitcast f32 scale."""
+            q, s = quantize_rows_xla(g, bits=8)
+            return jnp.concatenate(
+                [jax.lax.bitcast_convert_type(q, jnp.uint8),
+                 f32_to_bytes(s[:, None])], axis=1)
+
+        def _qgrad_unpack(p, e):
+            q = jax.lax.bitcast_convert_type(p[:, :e], jnp.int8)
+            s = bytes_to_f32(p[:, e:e + 4])[:, 0]
+            return q.astype(jnp.float32) * s[:, None]
 
         def step_body(state, batch):
             # per-device view: batch sharded over data; tables/moments are
@@ -368,6 +441,7 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                 path = spec["path"]
                 shard = jax.lax.stop_gradient(flat_params[path])
                 layout = hot_layouts.get(path)
+                oc = _out_cols(path)
                 if layout is not None:
                     # hot ids resolve from the replicated fragment (no
                     # exchange); only the cold tail rides the all-to-all
@@ -377,45 +451,60 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                     hot = jax.lax.stop_gradient(
                         flat_params["hot_tables/" + path])
                     hot_vec = hot[jnp.clip(packed, 0, h - 1)]
-                    if use_packed:  # fast-width gather, then slice to E
-                        hot_vec = hot_vec[:, :emb_dims[path]]
+                    if oc is not None:  # fast-width gather, slice to wire cols
+                        hot_vec = hot_vec[:, :oc]
                     cold_ids = jnp.where(is_hot, 0, packed - h)
                     cold_vec = all_to_all_lookup(shard, cold_ids, MODEL_AXIS,
-                                                 capacity=cap,
-                                                 out_cols=emb_dims.get(path))
-                    rows_in[name] = jnp.where(
-                        is_hot[:, None], hot_vec, cold_vec)
+                                                 capacity=cap, out_cols=oc)
+                    rows_in[name] = _model_rows(path, jnp.where(
+                        is_hot[:, None], hot_vec, cold_vec))
                     hot_aux[name] = (packed, is_hot)
                 elif grid and self.two_hop:
                     # forward twin of the 2-hop backward: request dedup
                     # inside the fast group, one DCN hop per direction
-                    rows_in[name] = two_hop_lookup(
-                        shard, ids, table_axes, capacity2=cap,
-                        out_cols=emb_dims.get(path))
+                    rows_in[name] = _model_rows(path, two_hop_lookup(
+                        shard, ids, table_axes, capacity2=cap, out_cols=oc))
                 elif grid:
                     # packed shards gather full fast-width rows locally and
-                    # slice to E before the return hop (out_cols)
-                    rows_in[name] = grid_lookup(
-                        shard, ids, table_axes, capacity=cap,
-                        out_cols=emb_dims.get(path))
+                    # slice to the wire columns before the return hop
+                    rows_in[name] = _model_rows(path, grid_lookup(
+                        shard, ids, table_axes, capacity=cap, out_cols=oc))
                 else:
-                    rows_in[name] = all_to_all_lookup(
-                        shard, ids, MODEL_AXIS, capacity=cap,
-                        out_cols=emb_dims.get(path))
+                    rows_in[name] = _model_rows(path, all_to_all_lookup(
+                        shard, ids, MODEL_AXIS, capacity=cap, out_cols=oc))
 
-            def compute_loss(params, rows):
+            # differentiate ONLY the dense sub-tree: every declared table's
+            # rows are injected (their leaf grads are structural zeros), and
+            # quantized u8 leaves are not differentiable at all. This also
+            # keeps the data-axis grad pmean free of zero table shards.
+            nondiff = {
+                k for k in flat_params
+                if k in table_paths or k.startswith("hot_tables/")
+            }
+            dense_flat = {k: v for k, v in flat_params.items()
+                          if k not in nondiff}
+
+            def compute_loss(dense_params, rows):
+                full = dict(flat_params)
+                # quantized leaves: flax validates the eagerly-declared
+                # param's shape, but the per-shard view is a fragment —
+                # substitute a full-shape dummy (never gathered: rows are
+                # injected; DCE'd by XLA)
+                for p, shp in q_full_shapes.items():
+                    full[p] = jnp.zeros(shp, flat_params[p].dtype)
+                full.update(dense_params)
                 patched = dict(batch)
                 for name, spec in specs.items():
                     patched[spec["rows_key"]] = rows[name]
                 prediction, target = model.apply(
-                    {"params": params}, patched, train=True,
+                    {"params": _unflatten(full)}, patched, train=True,
                     rngs={"dropout": step_rng},
                 )
                 return loss_fn(prediction, target)
 
-            loss, (dense_grads, row_grads) = jax.value_and_grad(
+            loss, (dense_grads_flat, row_grads) = jax.value_and_grad(
                 compute_loss, argnums=(0, 1)
-            )(state.params, rows_in)
+            )(dense_flat, rows_in)
 
             # global loss = mean of per-shard means (equal local sizes)
             loss = jax.lax.pmean(loss, DATA_AXIS)
@@ -427,13 +516,18 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                 # residual arrives as [1, ...] (this shard's slice of the
                 # data-sharded carry); squeeze for the math, restore after
                 local_res = {k: v[0] for k, v in state.grad_residual.items()}
-                flat_mean, new_res = compressed_pmean_flat(
-                    _flatten(dense_grads), local_res, DATA_AXIS)
-                dense_grads = _unflatten(flat_mean)
+                dense_grads_flat, new_res = compressed_pmean_flat(
+                    dense_grads_flat, local_res, DATA_AXIS)
                 new_residual = {k: v[None] for k, v in new_res.items()}
             else:
-                dense_grads = jax.lax.pmean(dense_grads, DATA_AXIS)
+                dense_grads_flat = jax.lax.pmean(dense_grads_flat, DATA_AXIS)
                 new_residual = state.grad_residual
+            # full-tree grads for the masked dense optimizer (table leaves
+            # carry zeros; optax.masked passes them through untouched)
+            dense_grads = _unflatten({
+                **dense_grads_flat,
+                **{k: jnp.zeros_like(flat_params[k]) for k in nondiff},
+            })
             updates, opt_state = dense_tx.update(
                 dense_grads, state.opt_state, state.params
             )
@@ -444,7 +538,7 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
             flat_p = dict(_flatten(state.params))
             flat_u = dict(_flatten(updates))
             flat = {
-                k: (flat_p[k] if (use_packed and k in table_paths)
+                k: (flat_p[k] if (use_packed and k in nondiff)
                     else flat_p[k] + flat_u[k])
                 for k in flat_p
             }
@@ -481,12 +575,10 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                                                    tiled=True)
                         c_rows = jax.lax.all_gather(r_rows, DATA_AXIS,
                                                     tiled=True)
-                        c_local = (c_ids - jax.lax.axis_index(MODEL_AXIS)
-                                   * rows_per_shard).astype(jnp.int32)
+                        c_offset = (jax.lax.axis_index(MODEL_AXIS)
+                                    * rows_per_shard)
+                        c_local = (c_ids - c_offset).astype(jnp.int32)
                         cold_now = jax.lax.stop_gradient(flat[path])[c_local]
-                        flat[path] = packed_sparse_update(
-                            flat[path], cold_now, c_local, c_rows, step,
-                            lr=table_lr, optimizer=table_optimizer)
                         hot_gids = jnp.where(
                             is_hot, packed, jnp.asarray(h, packed.dtype))
                         h_ids = jax.lax.all_gather(
@@ -494,6 +586,26 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                         h_rows = jax.lax.all_gather(g_occ, DATA_AXIS,
                                                     tiled=True)
                         hot_now = jax.lax.stop_gradient(flat[hot_key])[h_ids]
+                        if path in q_info:
+                            # quantized fragments: rowwise-Adagrad +
+                            # stochastic requantize per fragment, rounding
+                            # bits keyed by fragment-space id
+                            qi = q_info[path]
+                            salt = table_rounding_salt(state.rng, step, path)
+                            flat[path] = packed_quantized_update(
+                                flat[path], cold_now, c_local, c_rows, None,
+                                table_lr, bits=qi["bits"],
+                                col_groups=qi["col_groups"], rng_salt=salt,
+                                ids_offset=c_offset)
+                            flat[hot_key] = packed_quantized_update(
+                                flat[hot_key], hot_now, h_ids, h_rows, None,
+                                table_lr, bits=qi["bits"],
+                                col_groups=qi["col_groups"],
+                                rng_salt=salt ^ jnp.uint32(0x9E3779B9))
+                            continue
+                        flat[path] = packed_sparse_update(
+                            flat[path], cold_now, c_local, c_rows, step,
+                            lr=table_lr, optimizer=table_optimizer)
                         flat[hot_key] = packed_sparse_update(
                             flat[hot_key], hot_now, h_ids, h_rows, step,
                             lr=table_lr, optimizer=table_optimizer)
@@ -544,47 +656,67 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                     # pass — dedup keeps the same static length anyway, the
                     # data-axis gather payload is identical)
                     g_occ = row_grads[name] * inv_data
+                    e_dim = g_occ.shape[1]
+                    # int8 payload on the wire (qgrad_exchange): worth it
+                    # only when the scale byte overhead amortizes
+                    q_wire = qgrad and e_dim > 4
+                    send = _qgrad_pack(g_occ) if q_wire else g_occ
                     if grid:
-                        a_ids, a_rows = grid_exchange(
-                            ids_map[name], g_occ, rows_per_shard)
+                        a_ids, a_pay = grid_exchange(
+                            ids_map[name], send, rows_per_shard)
                         offset = (jax.lax.axis_index(table_axes)
                                   * rows_per_shard)
                     else:
-                        r_ids, r_rows = all_to_all_rowgrad(
-                            ids_map[name], g_occ, rows_per_shard, MODEL_AXIS,
+                        r_ids, r_pay = all_to_all_rowgrad(
+                            ids_map[name], send, rows_per_shard, MODEL_AXIS,
                             capacity=cap)
                         # replicated-update discipline over data: every
                         # replica applies the identical update
                         a_ids = jax.lax.all_gather(r_ids, DATA_AXIS,
                                                    tiled=True)
-                        a_rows = jax.lax.all_gather(r_rows, DATA_AXIS,
-                                                    tiled=True)
+                        a_pay = jax.lax.all_gather(r_pay, DATA_AXIS,
+                                                   tiled=True)
                         offset = (jax.lax.axis_index(MODEL_AXIS)
                                   * rows_per_shard)
+                    a_rows = _qgrad_unpack(a_pay, e_dim) if q_wire else a_pay
                     # sentinel slots map >= rows_per_shard: their row gather
                     # clamps to the last row (values unused) and the
                     # update's scatter drops them
                     local_ids = (a_ids - offset).astype(jnp.int32)
                     rows_now = jax.lax.stop_gradient(flat[path])[local_ids]
+                    if path in q_info:
+                        qi = q_info[path]
+                        salt = table_rounding_salt(state.rng, step, path)
+                        flat[path] = packed_quantized_update(
+                            flat[path], rows_now, local_ids, a_rows, None,
+                            table_lr, bits=qi["bits"],
+                            col_groups=qi["col_groups"], rng_salt=salt,
+                            ids_offset=offset)
+                        continue
                     flat[path] = packed_sparse_update(
                         flat[path], rows_now, local_ids, a_rows, step,
                         lr=table_lr, optimizer=table_optimizer)
                     continue
+                g_occ = row_grads[name] * inv_data
+                e_dim = g_occ.shape[1]
+                q_wire = qgrad and e_dim > 4
+                send = _qgrad_pack(g_occ) if q_wire else g_occ
                 if grid:
                     # every received row is owned HERE (unique grid owner):
                     # dedup + apply locally, no data-axis gather at all
-                    r_ids, r_rows = grid_exchange(
-                        ids_map[name], row_grads[name] * inv_data,
-                        rows_per_shard,
+                    r_ids, r_pay = grid_exchange(
+                        ids_map[name], send, rows_per_shard,
                     )
+                    r_rows = _qgrad_unpack(r_pay, e_dim) if q_wire else r_pay
                     g = dedup_row_grads(r_ids, r_rows)
                     all_ids, all_rows = g.ids, g.rows
                     offset = jax.lax.axis_index(table_axes) * rows_per_shard
                 else:
-                    r_ids, r_rows = all_to_all_rowgrad(
-                        ids_map[name], row_grads[name] * inv_data,
-                        rows_per_shard, MODEL_AXIS, capacity=cap,
+                    r_ids, r_pay = all_to_all_rowgrad(
+                        ids_map[name], send, rows_per_shard, MODEL_AXIS,
+                        capacity=cap,
                     )
+                    r_rows = _qgrad_unpack(r_pay, e_dim) if q_wire else r_pay
                     # dedup before the data-axis gather (cuts its payload
                     # m-fold for duplicate-heavy batches; padding carries the
                     # sentinel)
@@ -644,12 +776,34 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         GSPMD eval: their [V, E] leaves are semantically unchanged)."""
         if self.strategy != "hot_cold":
             return super()._build_eval_step()
+        from pytorchrec_tpu.ops.quantized_packed import (
+            dequant_packed_rows,
+            q_row_bytes,
+        )
+
         model = self.model
         table_paths = self._table_paths
         hot_layouts = dict(self._hot_layouts)
         hot_perms = {p: jnp.asarray(lo.perm) for p, lo in hot_layouts.items()}
         cap = self.exchange_capacity
         emb_dims = dict(self._table_emb_dims) if self.packed_tables else {}
+        q_info = dict(self._q_info)
+
+        def _out_cols(path):
+            if path in q_info:
+                i = q_info[path]
+                return (q_row_bytes(i["emb_size"], i["bits"])
+                        + 4 * i["col_groups"])
+            return emb_dims.get(path)
+
+        def _model_rows(path, raw):
+            if path in q_info:
+                i = q_info[path]
+                return dequant_packed_rows(raw, i["emb_size"], i["bits"],
+                                           i["col_groups"])
+            if self.packed_tables:
+                return raw.astype(jnp.float32)
+            return raw
 
         def eval_body(params, batch):
             flat = _flatten(params)
@@ -663,7 +817,7 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                 ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
                 path = spec["path"]
                 layout = hot_layouts.get(path)
-                out_cols = emb_dims.get(path)
+                out_cols = _out_cols(path)
                 if layout is None:
                     rows = all_to_all_lookup(flat[path], ids, MODEL_AXIS,
                                              capacity=cap, out_cols=out_cols)
@@ -680,8 +834,14 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                         flat[path], cold_ids, MODEL_AXIS, capacity=cap,
                         out_cols=out_cols)
                     rows = jnp.where(is_hot[:, None], hot_vec, cold_vec)
-                patched[spec["rows_key"]] = rows
-            return model.apply({"params": params}, patched, train=False)
+                patched[spec["rows_key"]] = _model_rows(path, rows)
+            # full-shape dummies for eagerly-declared quantized leaves
+            # (fragmented per-shard views fail flax's shape check; the
+            # dummy is never gathered — rows are injected)
+            for p, shp in getattr(self, "_q_full_shapes", {}).items():
+                flat[p] = jnp.zeros(shp, flat[p].dtype)
+            return model.apply({"params": _unflatten(flat)}, patched,
+                               train=False)
 
         step = jax.shard_map(
             eval_body,
@@ -700,7 +860,8 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
             return super().make_serving_fn()
         self._assert_compiled()
         assert self.state is not None, "init_state()/fit() first"
-        model, params = self.model, self.merged_params()
+        model = self.model
+        params = jax.tree_util.tree_map(jnp.asarray, self.merged_params())
 
         @jax.jit
         def serve(batch):
@@ -725,14 +886,16 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         for path, layout in self._hot_layouts.items():
             hot = flat.pop("hot_tables/" + path)
             cold = flat[path]
-            if self.packed_tables:  # unpack fragments before merging
+            if self.packed_tables and path not in self._q_info:
+                # unpack fragments before merging; quantized byte-row
+                # fragments merge as-is (the model's native storage format)
                 e = self._table_emb_dims[path]
                 hot = unpack_table(jnp.asarray(hot), e)
                 cold = unpack_table(jnp.asarray(cold), e)
             flat[path] = merge_table(hot, cold, layout)
         if self.packed_tables:  # tables without a hot/cold layout
             for path in self._table_paths:
-                if path not in self._hot_layouts:
+                if path not in self._hot_layouts and path not in self._q_info:
                     flat[path] = unpack_table(
                         jnp.asarray(flat[path]), self._table_emb_dims[path])
         merged = _unflatten(flat)

@@ -147,6 +147,12 @@ class SparseEmbeddingTrainer(Trainer):
         # RESULTS.md width rule; unit note at the packed_bytes branch above).
         self.packed_min_width = packed_min_width
         self._table_lr = None
+        # quantized packed byte-row tables (path -> {bits, col_groups,
+        # emb_size}); populated by the sharded subclass from the model's
+        # sharded_table_specs "quantized" blocks. Such leaves are ALREADY
+        # packed by the model's init (ops/quantized_packed.py layout) and
+        # update via packed_quantized_update instead of packed_sparse_update.
+        self._q_info = {}
 
     def compile(self, *args, lr: float = 1e-3, **kwargs):
         super().compile(*args, lr=lr, **kwargs)
@@ -207,8 +213,21 @@ class SparseEmbeddingTrainer(Trainer):
             flat2 = dict(flat)
             # the packed width is padded to the fast-row multiple, so the
             # embedding width can't be derived back from the leaf — keep it
-            self._table_emb_dims = {p: flat[p].shape[1] for p in table_paths}
+            self._table_emb_dims = {
+                p: (self._q_info[p]["emb_size"] if p in self._q_info
+                    else flat[p].shape[1])
+                for p in table_paths
+            }
+            # quantized leaves are declared EAGERLY by the model's setup()
+            # (self.param in _build_embeddings), so flax validates their
+            # shape on every apply — record the full (pre-shard) shapes so
+            # shard_map bodies can substitute a correctly-shaped dummy for
+            # the never-gathered leaf (rows are injected; XLA DCEs it)
+            self._q_full_shapes = {p: tuple(flat[p].shape)
+                                   for p in table_paths if p in self._q_info}
             for path in table_paths:
+                if path in self._q_info:
+                    continue  # model init already built the q byte rows
                 if self.packed_bytes:
                     flat2[path] = pack_table_bytes(
                         flat[path], self.table_optimizer,
@@ -453,7 +472,10 @@ class SparseEmbeddingTrainer(Trainer):
         from jax.experimental.layout import Format, Layout
 
         train_step = self._with_precision(train_step)
-        sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        # local_devices: under a multi-process runtime jax.devices()[0] can
+        # be ANOTHER process's device — pinning layouts there makes the
+        # state non-addressable (found by the cross-process engine drill)
+        sh = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
 
         def leaf_fmt(x):
             return Format(Layout(tuple(range(np.ndim(x)))), sh)
@@ -482,8 +504,11 @@ class SparseEmbeddingTrainer(Trainer):
         table_paths = self._table_paths
         emb_dims = self._table_emb_dims
         as_bytes = self.packed_bytes
+        q_info = dict(self._q_info)
 
         def eval_step(params, batch):
+            from pytorchrec_tpu.ops.quantized_packed import dequant_packed_rows
+
             flat = _flatten(params)
             patched = dict(batch)
             for name, spec in model.sharded_table_specs(batch).items():
@@ -492,7 +517,12 @@ class SparseEmbeddingTrainer(Trainer):
                     continue
                 ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
                 rows = flat[path][ids]
-                if as_bytes:
+                if path in q_info:
+                    info = q_info[path]
+                    patched[spec["rows_key"]] = dequant_packed_rows(
+                        rows, info["emb_size"], info["bits"],
+                        info["col_groups"])
+                elif as_bytes:
                     patched[spec["rows_key"]] = bytes_to_f32(
                         rows[:, :4 * emb_dims[path]])
                 else:
@@ -505,13 +535,17 @@ class SparseEmbeddingTrainer(Trainer):
     def unpacked_params(self):
         """Host copy of ``state.params`` with every packed table leaf
         restored to its plain [V, E] columns — for export/serving and
-        cross-trainer checkpoint interop."""
+        cross-trainer checkpoint interop. Quantized byte-row leaves are the
+        model's own storage format (it dequantizes from them at gather
+        time), so they pass through unchanged."""
         params = jax.device_get(self.state.params)
         if not self.packed_tables:
             return params
         flat = dict(_flatten(params))
         unpack = unpack_table_bytes if self.packed_bytes else unpack_table
         for path in self._table_paths:
+            if path in self._q_info:
+                continue  # model-native format; serving dequantizes in-graph
             flat[path] = np.asarray(
                 unpack(jnp.asarray(flat[path]), self._table_emb_dims[path])
             ).astype(np.float32)  # bf16 storage -> f32 export
@@ -524,7 +558,10 @@ class SparseEmbeddingTrainer(Trainer):
             return super().make_serving_fn()
         self._assert_compiled()
         assert self.state is not None, "init_state()/fit() first"
-        model, params = self.model, self.unpacked_params()
+        model = self.model
+        # jnp leaves: a host-numpy quantized table indexed by a traced id
+        # array would call __array__ on the tracer and fail
+        params = jax.tree_util.tree_map(jnp.asarray, self.unpacked_params())
 
         @jax.jit
         def serve(batch):
