@@ -215,6 +215,18 @@ class MetricList:
         self.metrics: List[Metric] = [
             get_metric(m, user_sample_n) if isinstance(m, str) else m for m in metrics
         ]
+        # fail loudly on the silent-flatten misconfiguration (ADVICE r3 #5):
+        # a plain pointwise metric next to TaskSlice metrics would pool both
+        # task columns of a multi-task [B, T] prediction into one blended
+        # number — slice every pointwise metric ("auc/0") instead
+        if any(isinstance(m, TaskSlice) for m in self.metrics):
+            plain = [m.name for m in self.metrics
+                     if _is_pointwise(m) and not isinstance(m, TaskSlice)]
+            assert not plain, (
+                f"plain pointwise metrics {plain} cannot be combined with "
+                "task-sliced metrics on multi-task [B, T] predictions — "
+                "use their sliced forms (e.g. 'auc/0')"
+            )
         rank_metrics = [m for m in self.metrics if type(m) in RANK_METRICS.values()]
         if rank_metrics:
             self.user_sample_n = rank_metrics[0].user_sample_n

@@ -255,6 +255,10 @@ class ESMM(_MultiTaskBase):
     click*conversion."""
 
     bottom_layers: Sequence[int] = (256, 128)
+    # prediction column 1 is log pCTCVR (a log-probability, not a logit):
+    # Trainer.compile rejects sigmoid-based sliced metrics (logloss/1,
+    # mse/1) on it — auc/1 is the meaningful slice (ADVICE r3 #4)
+    log_prob_task_columns = (1,)
 
     def setup(self):
         assert self.n_tasks == 2, "ESMM is (click, conversion)"

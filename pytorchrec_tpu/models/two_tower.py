@@ -63,12 +63,32 @@ class TwoTower(RecModel):
     normalize: bool = True             # L2-normalize tower outputs (cosine)
     temperature: float = 0.05          # logits /= temperature when normalized
     in_batch_negatives: bool = True    # train-time [B, B] in-batch layout
-    # logQ correction: batch key holding each in-batch item's sampling
-    # probability q(i) (e.g. empirical frequency from data/vocab.py's
-    # FrequencyVocab); when present at train time, log q is subtracted from
-    # every candidate logit (positive included — Yi et al. 2019 eq. 6) so
-    # frequent items are not over-penalized as in-batch negatives.
-    LOGQ_KEY = "__two_tower_logq"
+    # Accidental-hit masking (TFRS-style): when the same item id is the
+    # positive of two batch rows, each row would otherwise score the other
+    # copy as a target-0 negative — penalizing its own positive item. With
+    # True, candidate columns whose item id equals the row's positive id
+    # are masked to a large negative logit (softmax weight ~0). Off by
+    # default: with large vocabs duplicates are rare and the unmasked
+    # softmax is the common approximation (ADVICE r3 #2 documents it).
+    mask_accidental_hits: bool = False
+    # Cross-replica negatives (VERDICT r3 #5): name of the mesh DATA axis
+    # to all_gather in-batch item vectors over. Inside the sharded
+    # trainer's shard_map each replica then scores its B_local users
+    # against ALL d*B_local in-batch positives instead of its local slice —
+    # the effective negative pool no longer shrinks with data parallelism.
+    # None (default) keeps local negatives; set to
+    # pytorchrec_tpu.parallel.DATA_AXIS when training on a mesh.
+    global_negatives_axis: str = None
+    # logQ correction: batch key holding each in-batch item's RAW sampling
+    # probability q(i) in (0, 1] (e.g. empirical frequency from
+    # data/vocab.py's FrequencyVocab) — the model applies jnp.log itself;
+    # do NOT pass log-probabilities (ADVICE r3 #1). When present at train
+    # time, log q is subtracted from every candidate logit (positive
+    # included — Yi et al. 2019 eq. 6) so frequent items are not
+    # over-penalized as in-batch negatives.
+    Q_KEY = "__two_tower_q"
+    # deprecated alias (same semantics: RAW probabilities, never log-space)
+    LOGQ_KEY = Q_KEY
     # sharded/sparse trainer injection keys (FunkSVD-style protocol)
     U_ROWS_KEY = "__rows__tt_u"
     I_ROWS_KEY = "__rows__tt_i"
@@ -133,12 +153,48 @@ class TwoTower(RecModel):
             # in-batch negatives: each row's positive (column 0) against
             # every in-batch positive — one [B, D] x [D, B] MXU matmul
             pos_vec = i_vec[:, 0, :]                              # [B, D]
+            pos_ids = i_ids[:, 0]                                 # [B]
+            q = batch.get(self.Q_KEY)
+
+            if self.global_negatives_axis is not None:
+                # cross-replica pool: one all_gather of the [B, D] item
+                # vectors (+ ids/q) over the data axis; every replica
+                # scores d*B candidates. Positive-first layout: own column
+                # prepended, then the full pool with the own column (and
+                # optional accidental hits) masked out — exp(-1e9) == 0,
+                # so the softmax matches dropping those columns exactly.
+                import jax
+
+                ax = self.global_negatives_axis
+                b = pos_vec.shape[0]
+                all_vec = jax.lax.all_gather(pos_vec, ax, tiled=True)
+                logits = self._scale(u_vec @ all_vec.T)           # [B, dB]
+                if q is not None:
+                    q_all = jax.lax.all_gather(
+                        jnp.asarray(q, jnp.float32), ax, tiled=True)
+                    logits = logits - jnp.log(q_all)[None, :]
+                my_col = jax.lax.axis_index(ax) * b + jnp.arange(b)
+                pos = jnp.take_along_axis(logits, my_col[:, None], axis=1)
+                neg_mask = jnp.arange(logits.shape[1])[None, :] == my_col[:, None]
+                if self.mask_accidental_hits:
+                    all_ids = jax.lax.all_gather(pos_ids, ax, tiled=True)
+                    neg_mask = neg_mask | (all_ids[None, :] == pos_ids[:, None])
+                negs = jnp.where(neg_mask, -1e9, logits)
+                prediction = jnp.concatenate([pos, negs], axis=-1)
+                return prediction, one_hot_first_target(prediction)
+
             logits = self._scale(u_vec @ pos_vec.T)               # [B, B]
-            logq = batch.get(self.LOGQ_KEY)
-            if logq is not None:
+            if q is not None:
                 # Yi et al. 2019 eq. 6: s^c(x_i, y_j) = s(x_i, y_j) - log q(y_j)
                 # for EVERY candidate column j (positive included)
-                logits = logits - jnp.log(jnp.asarray(logq, jnp.float32))[None, :]
+                logits = logits - jnp.log(jnp.asarray(q, jnp.float32))[None, :]
+            if self.mask_accidental_hits:
+                # off-diagonal duplicate positives score as ~0-weight
+                # columns; the diagonal (the row's own positive) is kept
+                b = logits.shape[0]
+                dup = pos_ids[None, :] == pos_ids[:, None]
+                off_diag = ~jnp.eye(b, dtype=bool)
+                logits = jnp.where(dup & off_diag, -1e9, logits)
             prediction = jnp.concatenate(
                 [jnp.diagonal(logits)[:, None], drop_diagonal(logits)],
                 axis=-1)                                          # [B, B] pos-first

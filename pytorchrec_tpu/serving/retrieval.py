@@ -115,6 +115,10 @@ def _fused_topk(u_vec, item_index, k, scale=None, group=16):
         vals, idx = bin_max_scores_xla(u_vec, item_index, group=group)
     if scale is not None:
         vals = vals / scale
+    # pad-only bins of the last super-chunk carry ids >= the corpus size
+    # (with PAD_SCORE); mask them so k > #valid-bins can never return an
+    # out-of-range id (ADVICE r3 #3 — mirrors the sharded path's gidx mask)
+    vals = jnp.where(idx >= item_index.shape[0], -jnp.inf, vals)
     top_vals, sel = jax.lax.top_k(vals, k)
     return top_vals, jnp.take_along_axis(idx, sel, axis=1)
 

@@ -110,6 +110,22 @@ class Trainer:
             self.tx = optimizer
         self.loss_fn = get_loss(loss) if isinstance(loss, str) else loss
         self.metrics = MetricList(list(metrics), user_sample_n=user_sample_n)
+        # models whose prediction columns are log-probabilities (ESMM's
+        # column 1 = log pCTCVR) declare log_prob_task_columns; sigmoid-based
+        # sliced metrics on those columns would silently compute
+        # sigmoid(log p) instead of p (ADVICE r3 #4) — AUC is safe (monotone)
+        log_prob_cols = getattr(self.model, "log_prob_task_columns", ())
+        if log_prob_cols:
+            from pytorchrec_tpu.metric.metrics import LogLoss, MSE, TaskSlice
+
+            bad = [m.name for m in self.metrics.metrics
+                   if isinstance(m, TaskSlice) and m.task in log_prob_cols
+                   and isinstance(m.inner, (LogLoss, MSE))]
+            assert not bad, (
+                f"{bad}: task column(s) {sorted(log_prob_cols)} of "
+                f"{type(self.model).__name__} are log-probabilities — only "
+                "auc/<t> (rank-monotone) is meaningful there"
+            )
         # 'bfloat16' runs f32 matmuls as single-pass bf16 on the MXU
         # (+13% on the DCN bench config; params/optimizer state stay f32)
         self.matmul_precision = matmul_precision
