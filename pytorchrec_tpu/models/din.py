@@ -21,6 +21,10 @@ from pytorchrec_tpu.ops.embedding import normal_init
 from pytorchrec_tpu.ops.mlp import MLP
 
 
+def _round_up(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
 class DIN(RecModel):
     uid_column: CategoricalColumnWithIdentity
     iid_column: CategoricalColumnWithIdentity
@@ -31,10 +35,22 @@ class DIN(RecModel):
     att_hidden_units: Sequence[int] = (80, 40)
     mlp_layers: Sequence[int] = (200, 80)
     dropout: float = 0.0
+    # round table rows up so they divide a mesh 'model' axis (explicit
+    # sharded trainer; padding rows are never referenced)
+    table_row_multiple: int = 1
+
+    # sharded/sparse trainer injection keys: the ITEM table serves both the
+    # [B, N] candidate gather and the [B, S] history gather — both flatten
+    # through ONE exchange (VERDICT r3 #2), split back by position here
+    U_ROWS_KEY = "__rows__din_u"
+    I_ROWS_KEY = "__rows__din_i"
 
     def setup(self):
-        self.u_embeddings = Embedding(self.uid_column.category_num, self.emb_size)
-        self.i_embeddings = Embedding(self.iid_column.category_num, self.emb_size)
+        m = self.table_row_multiple
+        self.u_embeddings = Embedding(
+            _round_up(self.uid_column.category_num, m), self.emb_size)
+        self.i_embeddings = Embedding(
+            _round_up(self.iid_column.category_num, m), self.emb_size)
         self.attention = DINAttentionPool(hidden_units=tuple(self.att_hidden_units))
         self.mlp = MLP(tuple(self.mlp_layers), activation="relu", dropout=self.dropout)
         self.head = nn.Dense(1, use_bias=False, kernel_init=normal_init)
@@ -49,9 +65,20 @@ class DIN(RecModel):
         if pointwise:
             i_ids = i_ids[:, None]
 
-        u_vectors = self.u_embeddings(u_ids)  # [B, E]
-        i_vectors = self.i_embeddings(i_ids)  # [B, N, E]
-        his_vectors = self.i_embeddings(his_ids)  # [B, S, E]
+        u_rows = batch.get(self.U_ROWS_KEY)
+        i_rows = batch.get(self.I_ROWS_KEY)
+        u_vectors = (jnp.reshape(u_rows, (*u_ids.shape, self.emb_size))
+                     if u_rows is not None else self.u_embeddings(u_ids))
+        if i_rows is not None:
+            # one injected row block: candidates first, history after
+            # (must match _item_gather_ids' concatenation order)
+            rows = jnp.reshape(i_rows, (-1, self.emb_size))
+            n_cand = i_ids.shape[0] * i_ids.shape[1]
+            i_vectors = rows[:n_cand].reshape(*i_ids.shape, self.emb_size)
+            his_vectors = rows[n_cand:].reshape(*his_ids.shape, self.emb_size)
+        else:
+            i_vectors = self.i_embeddings(i_ids)  # [B, N, E]
+            his_vectors = self.i_embeddings(his_ids)  # [B, S, E]
 
         interest = self.attention(his_vectors, i_vectors, valid_his, train=train)  # [B, N, E]
 
@@ -65,3 +92,35 @@ class DIN(RecModel):
         if pointwise:
             return prediction[:, 0], label_target(self.label_column, batch)
         return prediction, one_hot_first_target(prediction)
+
+    # --- sparse/sharded trainer protocols (same contracts as FunkSVD) ---
+
+    def _item_gather_ids(self, batch: Batch) -> jnp.ndarray:
+        """Candidate + history ids, flattened in the order __call__ splits
+        the injected rows: [B*N candidates | B*S history]."""
+        i_ids = jnp.asarray(self.iid_column.get_feature_data(batch))
+        if i_ids.ndim == 1:
+            i_ids = i_ids[:, None]
+        his_ids = jnp.asarray(self.his_column.get_feature_data(batch))
+        return jnp.concatenate([i_ids.reshape(-1), his_ids.reshape(-1)])
+
+    def sparse_table_ids(self, batch: Batch):
+        """Sparse-trainer protocol (training/sparse_trainer.py): the big
+        item table (the production-scale table — BASELINE 'DIN on Amazon')
+        updates row-sparsely; history + candidate occurrences share it."""
+        return {
+            "u_embeddings/embedding": self.uid_column.get_feature_data(batch),
+            "i_embeddings/embedding": self._item_gather_ids(batch),
+        }
+
+    def sharded_table_specs(self, batch: Batch):
+        """Explicit sharded-table protocol
+        (training/sharded_sparse_trainer.py)."""
+        return {
+            "u": {"path": "u_embeddings/embedding",
+                  "ids": self.uid_column.get_feature_data(batch),
+                  "rows_key": self.U_ROWS_KEY},
+            "i": {"path": "i_embeddings/embedding",
+                  "ids": self._item_gather_ids(batch),
+                  "rows_key": self.I_ROWS_KEY},
+        }

@@ -23,9 +23,17 @@ class GRU4Rec(RecModel):
     label_column: CategoricalColumnWithIdentity
     emb_size: int = 64
     hidden_size: int = 64
+    # round item-table rows so they divide a mesh 'model' axis
+    table_row_multiple: int = 1
+
+    # sharded/sparse injection: candidates + history share the item table,
+    # one flattened gather [B*N | B*S] (split back by position below)
+    I_ROWS_KEY = "__rows__gru4rec_i"
 
     def setup(self):
-        self.i_embeddings = Embedding(self.iid_column.category_num, self.emb_size)
+        m = self.table_row_multiple
+        self.i_embeddings = Embedding(
+            -(-self.iid_column.category_num // m) * m, self.emb_size)
         self.rnn = MaskedGRU(hidden_size=self.hidden_size)
         self.out = nn.Dense(self.emb_size, use_bias=False, kernel_init=normal_init)
 
@@ -34,11 +42,45 @@ class GRU4Rec(RecModel):
         his_ids = self.his_column.get_feature_data(batch)  # [B, S]
         his_len = self.his_len_column.get_feature_data(batch)  # [B]
 
-        i_vectors = self.i_embeddings(i_ids)  # [B, N, E]
-        his_vectors = self.i_embeddings(his_ids)  # [B, S, E]
+        # point-wise rows arrive [B]; expand to one candidate (the bare
+        # [B, E] broadcast would silently produce a [B, B] prediction)
+        pointwise = i_ids.ndim == 1
+        if pointwise:
+            i_ids = i_ids[:, None]
+
+        i_rows = batch.get(self.I_ROWS_KEY)
+        if i_rows is not None:
+            rows = jnp.reshape(i_rows, (-1, self.emb_size))
+            n_cand = i_ids.shape[0] * i_ids.shape[1]
+            i_vectors = rows[:n_cand].reshape(*i_ids.shape, self.emb_size)
+            his_vectors = rows[n_cand:].reshape(*his_ids.shape, self.emb_size)
+        else:
+            i_vectors = self.i_embeddings(i_ids)  # [B, N, E]
+            his_vectors = self.i_embeddings(his_ids)  # [B, S, E]
 
         hidden = self.rnn(his_vectors, his_len)  # [B, H]
         rnn_vector = self.out(hidden)  # [B, E]
 
         prediction = jnp.sum(rnn_vector[:, None, :] * i_vectors, axis=-1)  # [B, N]
+        if pointwise:
+            prediction = prediction[:, 0]
         return prediction, label_target(self.label_column, batch)
+
+    # --- sparse/sharded trainer protocols (same contracts as FunkSVD) ---
+
+    def _item_gather_ids(self, batch: Batch) -> jnp.ndarray:
+        i_ids = jnp.asarray(self.iid_column.get_feature_data(batch))
+        if i_ids.ndim == 1:
+            i_ids = i_ids[:, None]
+        his_ids = jnp.asarray(self.his_column.get_feature_data(batch))
+        return jnp.concatenate([i_ids.reshape(-1), his_ids.reshape(-1)])
+
+    def sparse_table_ids(self, batch: Batch):
+        return {"i_embeddings/embedding": self._item_gather_ids(batch)}
+
+    def sharded_table_specs(self, batch: Batch):
+        return {
+            "i": {"path": "i_embeddings/embedding",
+                  "ids": self._item_gather_ids(batch),
+                  "rows_key": self.I_ROWS_KEY},
+        }

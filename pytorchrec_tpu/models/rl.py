@@ -61,25 +61,65 @@ class DQNQNet(QNet):
     rl_sample_column: CategoricalColumnWithIdentity
     emb_size: int = 64
     hidden_size: int = 64
+    # round the item table's rows so they divide a mesh 'model' axis
+    table_row_multiple: int = 1
+
+    # sparse/sharded injection for the EVAL net's forward gathers only
+    # (candidates + state history, one flattened block [B*N | B*S]); the
+    # target net's next_forward gathers stay in-module — its reads are
+    # under stop_gradient, so no rows need routing back (VERDICT r3 #2)
+    I_ROWS_KEY = "__rows__dqn_i"
 
     def setup(self):
-        self.i_embedding = Embedding(self.iid_column.category_num, self.emb_size)
+        m = self.table_row_multiple
+        self.i_embedding = Embedding(
+            -(-self.iid_column.category_num // m) * m, self.emb_size)
         self.rnn = MaskedGRU(hidden_size=self.hidden_size)
         self.out = nn.Dense(self.emb_size, kernel_init=normal_init, bias_init=normal_init)
 
-    def _encode(self, state_ids, state_len):
-        state_vectors = self.i_embedding(state_ids)  # [B, S, E]
+    def _encode_vectors(self, state_vectors, state_len):
         return self.out(self.rnn(state_vectors, state_len))  # [B, E]
+
+    def _encode(self, state_ids, state_len):
+        return self._encode_vectors(self.i_embedding(state_ids), state_len)
 
     def forward(self, batch: Batch, train: bool = False) -> jnp.ndarray:
         i_ids = self.iid_column.get_feature_data(batch)  # [B] or [B, N]
         state_ids = self.state_column.get_feature_data(batch)
         state_len = self.state_len_column.get_feature_data(batch)
-        rnn_vector = self._encode(state_ids, state_len)
-        i_vectors = self.i_embedding(i_ids)
+        squeeze = i_ids.ndim == 1
+        i2 = i_ids[:, None] if squeeze else i_ids
+        rows = batch.get(self.I_ROWS_KEY)
+        if rows is not None:
+            r = jnp.reshape(rows, (-1, self.emb_size))
+            n_cand = i2.shape[0] * i2.shape[1]
+            i_vectors = r[:n_cand].reshape(*i2.shape, self.emb_size)
+            state_vectors = r[n_cand:].reshape(*state_ids.shape, self.emb_size)
+        else:
+            i_vectors = self.i_embedding(i2)
+            state_vectors = self.i_embedding(state_ids)
+        rnn_vector = self._encode_vectors(state_vectors, state_len)
+        q = jnp.sum(rnn_vector[:, None, :] * i_vectors, axis=-1)  # [B, N]
+        return q[:, 0] if squeeze else q
+
+    def _forward_gather_ids(self, batch: Batch) -> jnp.ndarray:
+        i_ids = jnp.asarray(self.iid_column.get_feature_data(batch))
         if i_ids.ndim == 1:
-            return jnp.sum(rnn_vector * i_vectors, axis=-1)  # [B]
-        return jnp.sum(rnn_vector[:, None, :] * i_vectors, axis=-1)  # [B, N]
+            i_ids = i_ids[:, None]
+        state_ids = jnp.asarray(self.state_column.get_feature_data(batch))
+        return jnp.concatenate([i_ids.reshape(-1), state_ids.reshape(-1)])
+
+    def sparse_table_ids(self, batch: Batch):
+        """Sparse-trainer protocol (training/rl_trainer.py::SparseRLTrainer):
+        the EVAL net's forward gathers on the item table."""
+        return {"i_embedding/embedding": self._forward_gather_ids(batch)}
+
+    def sharded_table_specs(self, batch: Batch):
+        return {
+            "i": {"path": "i_embedding/embedding",
+                  "ids": self._forward_gather_ids(batch),
+                  "rows_key": self.I_ROWS_KEY},
+        }
 
     def next_forward(self, batch: Batch, train: bool = False) -> jnp.ndarray:
         next_i_ids = self.rl_sample_column.get_feature_data(batch)  # [B, N]
@@ -115,13 +155,25 @@ class BranchQNet(QNet):
     emb_size: int = 64
     hidden_size: int = 64
     dropout: float = 0.2
+    # round table rows so they divide a mesh 'model' axis
+    table_row_multiple: int = 1
+
+    # sparse/sharded injection for the EVAL net's forward gathers only
+    # (candidates + active-branch state histories in one flattened block
+    # [B*N | B*S_pos | B*S_neg]); next_forward (target net) gathers stay
+    # in-module (stop_gradient reads)
+    I_ROWS_KEY = "__rows__branchq_i"
+    U_ROWS_KEY = "__rows__branchq_u"
 
     def setup(self):
-        self.i_embeddings = Embedding(self.iid_column.category_num, self.emb_size)
+        m = self.table_row_multiple
+        self.i_embeddings = Embedding(
+            -(-self.iid_column.category_num // m) * m, self.emb_size)
         n_branches = 0
         if self.use_long:
             assert self.uid_column is not None
-            self.u_embeddings = Embedding(self.uid_column.category_num, self.emb_size)
+            self.u_embeddings = Embedding(
+                -(-self.uid_column.category_num // m) * m, self.emb_size)
             self.long_mlp = MLP((self.emb_size,) * 3, activation="relu", dropout=self.dropout)
             n_branches += 1
         if self.use_pos:
@@ -136,33 +188,54 @@ class BranchQNet(QNet):
         self.fuse = Dense(self.emb_size, activation="relu", dropout=self.dropout)
         self.prediction = nn.Dense(1, use_bias=False, kernel_init=normal_init)
 
-    def _score(self, batch: Batch, i_ids, pos_cols, neg_cols, train: bool) -> jnp.ndarray:
+    def _score(self, batch: Batch, i_ids, pos_cols, neg_cols, train: bool,
+               use_rows: bool = False) -> jnp.ndarray:
         squeeze = i_ids.ndim == 1
         if squeeze:
             i_ids = i_ids[:, None]
-        i_vectors = self.i_embeddings(i_ids)  # [B, N, E]
-        sample_n = i_ids.shape[1]
+
+        pos_ids = pos_cols[0].get_feature_data(batch) if self.use_pos else None
+        neg_ids = neg_cols[0].get_feature_data(batch) if self.use_neg else None
+        i_rows = batch.get(self.I_ROWS_KEY) if use_rows else None
+        if i_rows is not None:
+            # one injected block, split in _forward_gather_ids order
+            r = jnp.reshape(i_rows, (-1, self.emb_size))
+            off = i_ids.shape[0] * i_ids.shape[1]
+            i_vectors = r[:off].reshape(*i_ids.shape, self.emb_size)
+            if self.use_pos:
+                n = pos_ids.shape[0] * pos_ids.shape[1]
+                pos_vectors = r[off:off + n].reshape(*pos_ids.shape,
+                                                     self.emb_size)
+                off += n
+            if self.use_neg:
+                n = neg_ids.shape[0] * neg_ids.shape[1]
+                neg_vectors = r[off:off + n].reshape(*neg_ids.shape,
+                                                     self.emb_size)
+        else:
+            i_vectors = self.i_embeddings(i_ids)  # [B, N, E]
+            if self.use_pos:
+                pos_vectors = self.i_embeddings(pos_ids)
+            if self.use_neg:
+                neg_vectors = self.i_embeddings(neg_ids)
 
         branches = []
         if self.use_long:
             u_ids = self.uid_column.get_feature_data(batch)  # [B]
-            u_vectors = self.u_embeddings(u_ids)[:, None, :]  # [B, 1, E]
-            u_vectors = jnp.broadcast_to(u_vectors, i_vectors.shape)
+            u_rows = batch.get(self.U_ROWS_KEY) if use_rows else None
+            u_vec = (jnp.reshape(u_rows, (*u_ids.shape, self.emb_size))
+                     if u_rows is not None else self.u_embeddings(u_ids))
+            u_vectors = jnp.broadcast_to(u_vec[:, None, :], i_vectors.shape)
             branches.append(self.long_mlp(
                 jnp.concatenate([u_vectors, i_vectors], axis=-1), train=train))
         if self.use_pos:
-            state_col, len_col = pos_cols
-            state_ids = state_col.get_feature_data(batch)
-            state_len = len_col.get_feature_data(batch)
-            hidden = self.pos_rnn(self.i_embeddings(state_ids), state_len)  # [B, H]
+            state_len = pos_cols[1].get_feature_data(batch)
+            hidden = self.pos_rnn(pos_vectors, state_len)  # [B, H]
             hidden = jnp.broadcast_to(hidden[:, None, :], (*i_vectors.shape[:2], hidden.shape[-1]))
             branches.append(self.pos_mlp(
                 jnp.concatenate([hidden, i_vectors], axis=-1), train=train))
         if self.use_neg:
-            state_col, len_col = neg_cols
-            state_ids = state_col.get_feature_data(batch)
-            state_len = len_col.get_feature_data(batch)
-            hidden = self.neg_rnn(self.i_embeddings(state_ids), state_len)  # [B, H]
+            state_len = neg_cols[1].get_feature_data(batch)
+            hidden = self.neg_rnn(neg_vectors, state_len)  # [B, H]
             hidden = jnp.broadcast_to(hidden[:, None, :], (*i_vectors.shape[:2], hidden.shape[-1]))
             branches.append(self.neg_mlp(
                 jnp.concatenate([hidden, i_vectors], axis=-1), train=train))
@@ -177,8 +250,40 @@ class BranchQNet(QNet):
             batch, i_ids,
             pos_cols=(self.pos_state_column, self.pos_state_len_column),
             neg_cols=(self.neg_state_column, self.neg_state_len_column),
-            train=train,
+            train=train, use_rows=True,
         )
+
+    def _forward_gather_ids(self, batch: Batch) -> jnp.ndarray:
+        i_ids = jnp.asarray(self.iid_column.get_feature_data(batch))
+        if i_ids.ndim == 1:
+            i_ids = i_ids[:, None]
+        parts = [i_ids.reshape(-1)]
+        if self.use_pos:
+            parts.append(jnp.asarray(
+                self.pos_state_column.get_feature_data(batch)).reshape(-1))
+        if self.use_neg:
+            parts.append(jnp.asarray(
+                self.neg_state_column.get_feature_data(batch)).reshape(-1))
+        return jnp.concatenate(parts)
+
+    def sparse_table_ids(self, batch: Batch):
+        ids = {"i_embeddings/embedding": self._forward_gather_ids(batch)}
+        if self.use_long:
+            ids["u_embeddings/embedding"] = \
+                self.uid_column.get_feature_data(batch)
+        return ids
+
+    def sharded_table_specs(self, batch: Batch):
+        specs = {
+            "i": {"path": "i_embeddings/embedding",
+                  "ids": self._forward_gather_ids(batch),
+                  "rows_key": self.I_ROWS_KEY},
+        }
+        if self.use_long:
+            specs["u"] = {"path": "u_embeddings/embedding",
+                          "ids": self.uid_column.get_feature_data(batch),
+                          "rows_key": self.U_ROWS_KEY}
+        return specs
 
     def next_forward(self, batch: Batch, train: bool = False) -> jnp.ndarray:
         next_i_ids = self.rl_sample_column.get_feature_data(batch)  # [B, N]
@@ -222,6 +327,14 @@ class ValueRLModel:
     def apply_eval(self, variables, batch):
         """Candidate scoring for dev/test ranking evaluation."""
         return self.qnet.apply(variables, batch, train=False, method=self.qnet.forward)
+
+    # sparse/sharded table protocols delegate to the QNet (eval-net forward
+    # gathers only; the target net's reads are under stop_gradient)
+    def sparse_table_ids(self, batch: Batch):
+        return self.qnet.sparse_table_ids(batch)
+
+    def sharded_table_specs(self, batch: Batch):
+        return self.qnet.sharded_table_specs(batch)
 
     @staticmethod
     def load_pretrain_embedding(params, weight_file: str,

@@ -30,9 +30,18 @@ class SASRec(RecModel):
     # (SASRec.py:66-107: single modules applied in the layer loop); set
     # False for the conventional per-layer parameterization
     share_layer_weights: bool = True
+    # round the item table's rows so they divide a mesh 'model' axis
+    # (the position table stays dense/replicated — max_his_len+1 rows)
+    table_row_multiple: int = 1
+
+    # sharded/sparse injection: candidates + history share the item table,
+    # one flattened gather [B*N | B*S] (split back by position below)
+    I_ROWS_KEY = "__rows__sasrec_i"
 
     def setup(self):
-        self.i_embeddings = Embedding(self.iid_column.category_num, self.emb_size)
+        m = self.table_row_multiple
+        self.i_embeddings = Embedding(
+            -(-self.iid_column.category_num // m) * m, self.emb_size)
         self.p_embeddings = Embedding(self.max_his_len + 1, self.emb_size)
         if self.share_layer_weights:
             shared = SASRecBlock(emb_size=self.emb_size, dropout=self.dropout,
@@ -52,8 +61,22 @@ class SASRec(RecModel):
 
         valid_his = get_valid_his_index(his_ids)  # [B, S]
 
-        i_vectors = self.i_embeddings(i_ids)  # [B, N, E]
-        his_vectors = self.i_embeddings(his_ids)  # [B, S, E]
+        # point-wise rows arrive [B]; expand to one candidate (the bare
+        # [B, E] broadcast would silently score every row against every
+        # other row's hidden state — a [B, B] prediction)
+        pointwise = i_ids.ndim == 1
+        if pointwise:
+            i_ids = i_ids[:, None]
+
+        i_rows = batch.get(self.I_ROWS_KEY)
+        if i_rows is not None:
+            rows = jnp.reshape(i_rows, (-1, self.emb_size))
+            n_cand = i_ids.shape[0] * i_ids.shape[1]
+            i_vectors = rows[:n_cand].reshape(*i_ids.shape, self.emb_size)
+            his_vectors = rows[n_cand:].reshape(*his_ids.shape, self.emb_size)
+        else:
+            i_vectors = self.i_embeddings(i_ids)  # [B, N, E]
+            his_vectors = self.i_embeddings(his_ids)  # [B, S, E]
 
         pos_ids = get_position_ids(valid_his, his_len)  # [B, S]
         his_vectors = his_vectors + self.p_embeddings(pos_ids)
@@ -61,4 +84,25 @@ class SASRec(RecModel):
         his_vector = sasrec_encoder(his_vectors, valid_his, his_len, self.blocks, train=train)
 
         prediction = jnp.sum(his_vector[:, None, :] * i_vectors, axis=-1)  # [B, N]
+        if pointwise:
+            prediction = prediction[:, 0]
         return prediction, label_target(self.label_column, batch)
+
+    # --- sparse/sharded trainer protocols (same contracts as FunkSVD) ---
+
+    def _item_gather_ids(self, batch: Batch) -> jnp.ndarray:
+        i_ids = jnp.asarray(self.iid_column.get_feature_data(batch))
+        if i_ids.ndim == 1:
+            i_ids = i_ids[:, None]
+        his_ids = jnp.asarray(self.his_column.get_feature_data(batch))
+        return jnp.concatenate([i_ids.reshape(-1), his_ids.reshape(-1)])
+
+    def sparse_table_ids(self, batch: Batch):
+        return {"i_embeddings/embedding": self._item_gather_ids(batch)}
+
+    def sharded_table_specs(self, batch: Batch):
+        return {
+            "i": {"path": "i_embeddings/embedding",
+                  "ids": self._item_gather_ids(batch),
+                  "rows_key": self.I_ROWS_KEY},
+        }

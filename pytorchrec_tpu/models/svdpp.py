@@ -19,17 +19,36 @@ class SVDPP(RecModel):
     iids_column: CategoricalColumnWithIdentity
     label_column: CategoricalColumnWithIdentity
     emb_size: int = 64
+    # round table rows so they divide a mesh 'model' axis
+    table_row_multiple: int = 1
+
+    # sharded/sparse injection keys (FunkSVD-style protocol); the implicit
+    # table's [B, H] history gather rides its own exchange
+    U_ROWS_KEY = "__rows__svdpp_u"
+    I_ROWS_KEY = "__rows__svdpp_i"
+    IMP_ROWS_KEY = "__rows__svdpp_imp"
+    UB_ROWS_KEY = "__rows__svdpp_ub"
+    IB_ROWS_KEY = "__rows__svdpp_ib"
 
     def setup(self):
-        self.u_embeddings = Embedding(self.uid_column.category_num, self.emb_size)
-        self.i_embeddings = Embedding(self.iid_column.category_num, self.emb_size)
-        self.implicit_i_embeddings = Embedding(self.iid_column.category_num, self.emb_size)
-        self.u_bias = Embedding(self.uid_column.category_num, 1)
-        self.i_bias = Embedding(self.iid_column.category_num, 1)
+        m = self.table_row_multiple
+        nu = -(-self.uid_column.category_num // m) * m
+        ni = -(-self.iid_column.category_num // m) * m
+        self.u_embeddings = Embedding(nu, self.emb_size)
+        self.i_embeddings = Embedding(ni, self.emb_size)
+        self.implicit_i_embeddings = Embedding(ni, self.emb_size)
+        self.u_bias = Embedding(nu, 1)
+        self.i_bias = Embedding(ni, 1)
         # scalar global bias initialized to 0 (reference SVDPP.py:42)
         self.global_bias = self.param(
             "global_bias", lambda key, shape: jnp.zeros(shape, jnp.float32), ()
         )
+
+    def _rows_or_gather(self, batch, key, table, ids, width):
+        rows = batch.get(key)
+        if rows is not None:
+            return jnp.reshape(rows, (*jnp.asarray(ids).shape, width))
+        return table(ids)
 
     def __call__(self, batch: Batch, train: bool = False) -> Prediction:
         u_ids = self.uid_column.get_feature_data(batch)  # [B]
@@ -39,14 +58,20 @@ class SVDPP(RecModel):
         global_bias = self.global_bias
 
         valid = (implicit_i_ids > 0).astype(jnp.float32)  # [B, H]
-        implicit = self.implicit_i_embeddings(implicit_i_ids)  # [B, H, E]
+        implicit = self._rows_or_gather(
+            batch, self.IMP_ROWS_KEY, self.implicit_i_embeddings,
+            implicit_i_ids, self.emb_size)  # [B, H, E]
         implicit = jnp.sum(implicit * valid[..., None], axis=1)  # [B, E]
         implicit = implicit / jnp.sqrt(jnp.sum(valid, axis=-1))[:, None]
 
-        u_vectors = self.u_embeddings(u_ids)  # [B, E]
-        i_vectors = self.i_embeddings(i_ids)  # [B, E] or [B, N, E]
-        u_bias = self.u_bias(u_ids)[..., 0]  # [B]
-        i_bias = self.i_bias(i_ids)[..., 0]  # [B] or [B, N]
+        u_vectors = self._rows_or_gather(
+            batch, self.U_ROWS_KEY, self.u_embeddings, u_ids, self.emb_size)
+        i_vectors = self._rows_or_gather(
+            batch, self.I_ROWS_KEY, self.i_embeddings, i_ids, self.emb_size)
+        u_bias = self._rows_or_gather(
+            batch, self.UB_ROWS_KEY, self.u_bias, u_ids, 1)[..., 0]  # [B]
+        i_bias = self._rows_or_gather(
+            batch, self.IB_ROWS_KEY, self.i_bias, i_ids, 1)[..., 0]
 
         if i_ids.ndim == 1:
             prediction = (
@@ -60,3 +85,34 @@ class SVDPP(RecModel):
             jnp.sum(user_side * i_vectors, axis=-1) + u_bias[:, None] + i_bias + global_bias
         )
         return prediction, one_hot_first_target(prediction)
+
+    # --- sparse/sharded trainer protocols (same contracts as FunkSVD) ---
+
+    def sparse_table_ids(self, batch: Batch):
+        u_ids = self.uid_column.get_feature_data(batch)
+        i_ids = self.iid_column.get_feature_data(batch)
+        imp = self.iids_column.get_feature_data(batch)
+        return {
+            "u_embeddings/embedding": u_ids,
+            "i_embeddings/embedding": i_ids,
+            "implicit_i_embeddings/embedding": imp,
+            "u_bias/embedding": u_ids,
+            "i_bias/embedding": i_ids,
+        }
+
+    def sharded_table_specs(self, batch: Batch):
+        u_ids = self.uid_column.get_feature_data(batch)
+        i_ids = self.iid_column.get_feature_data(batch)
+        imp = self.iids_column.get_feature_data(batch)
+        return {
+            "u": {"path": "u_embeddings/embedding", "ids": u_ids,
+                  "rows_key": self.U_ROWS_KEY},
+            "i": {"path": "i_embeddings/embedding", "ids": i_ids,
+                  "rows_key": self.I_ROWS_KEY},
+            "imp": {"path": "implicit_i_embeddings/embedding", "ids": imp,
+                    "rows_key": self.IMP_ROWS_KEY},
+            "ub": {"path": "u_bias/embedding", "ids": u_ids,
+                   "rows_key": self.UB_ROWS_KEY},
+            "ib": {"path": "i_bias/embedding", "ids": i_ids,
+                   "rows_key": self.IB_ROWS_KEY},
+        }

@@ -13,7 +13,7 @@ from pytorchrec_tpu.training.checkpoint import (
     CheckpointManager,
     PreemptionGuard,
 )
-from pytorchrec_tpu.training.rl_trainer import RLTrainer
+from pytorchrec_tpu.training.rl_trainer import RLTrainer, SparseRLTrainer
 from pytorchrec_tpu.training.sharded_sparse_trainer import ShardedSparseEmbeddingTrainer
 from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
 from pytorchrec_tpu.training.state import RLTrainState, TrainState
@@ -30,6 +30,7 @@ __all__ = [
     "ProgbarLogger",
     "Trainer",
     "RLTrainer",
+    "SparseRLTrainer",
     "SparseEmbeddingTrainer",
     "ShardedSparseEmbeddingTrainer",
     "CheckpointManager",

@@ -212,3 +212,163 @@ class RLTrainer(Trainer):
                 break
         callbacks.on_train_end()
         return self.history
+
+
+import flax.struct
+from flax import traverse_util
+
+
+@flax.struct.dataclass
+class SparseRLTrainState(RLTrainState):
+    """RL twin-network state + row-sparse table moments (path -> pytree)."""
+
+    table_moments: Optional[Dict[str, Dict[str, jnp.ndarray]]] = None
+
+
+class SparseRLTrainer(RLTrainer):
+    """RLTrainer with row-sparse lazy table updates (VERDICT r3 #3: the RL
+    zoo was locked out of the sparse path).
+
+    The EVAL net's forward gathers (candidates + state histories, one
+    flattened block per table — models/rl.py ``_forward_gather_ids``) are
+    hoisted out of the model and re-injected through the QNet's rows keys,
+    so ``d(loss)/d(rows)`` is the exact per-occurrence row gradient and the
+    item table updates with lazy Adam/Adagrad over touched rows only. The
+    TARGET net's ``next_forward`` gathers stay in-module: they sit under
+    ``stop_gradient`` (reference DQN.py:97-100), so they cost one gather
+    and route nothing back. The periodic target sync copies the plain
+    [V, E] table leaf — moments are eval-net state and are not synced.
+    """
+
+    def __init__(self, model: ValueRLModel, mesh=None,
+                 table_optimizer: str = "adam"):
+        assert hasattr(model, "sparse_table_ids"), type(model).__name__
+        assert table_optimizer in ("adam", "adagrad", "rowwise_adagrad")
+        super().__init__(model, mesh=mesh)
+        self.table_optimizer = table_optimizer
+        self._table_lr = None
+
+    def compile(self, *args, lr: float = 1e-3, **kwargs):
+        super().compile(*args, lr=lr, **kwargs)
+        self._table_lr = lr
+
+    def _make_state(self, sample_batch, seed) -> SparseRLTrainState:
+        import optax
+
+        root = jax.random.PRNGKey(seed)
+        init_rng, state_rng = jax.random.split(root)
+        variables = self.model.init(
+            {"params": init_rng, "dropout": init_rng}, sample_batch)
+        params = variables["params"]
+        flat = traverse_util.flatten_dict(params, sep="/")
+        declared = {
+            spec["path"]
+            for spec in self.model.sharded_table_specs(sample_batch).values()
+        }
+        table_paths = declared & set(flat)
+        self._table_paths = table_paths
+
+        self._dense_tx = optax.masked(
+            self.tx,
+            traverse_util.unflatten_dict(
+                {k: k not in table_paths for k in flat}, sep="/"))
+
+        if self.table_optimizer == "adam":
+            moments = {p: {"m": jnp.zeros_like(flat[p]),
+                           "v": jnp.zeros_like(flat[p])} for p in table_paths}
+        elif self.table_optimizer == "rowwise_adagrad":
+            moments = {p: {"acc": jnp.zeros(flat[p].shape[0], jnp.float32)}
+                       for p in table_paths}
+        else:
+            moments = {p: {"acc": jnp.zeros_like(flat[p])}
+                       for p in table_paths}
+        return SparseRLTrainState(
+            params=params,
+            opt_state=self._dense_tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=state_rng,
+            target_params=jax.tree_util.tree_map(jnp.copy, params),
+            table_moments=moments,
+        )
+
+    def _build_train_step(self):
+        from pytorchrec_tpu.ops.sparse_update import (
+            sparse_adagrad,
+            sparse_lazy_adam,
+            sparse_rowwise_adagrad,
+        )
+
+        model, loss_fn = self.model, self.loss_fn
+        dense_tx = self._dense_tx
+        table_paths = self._table_paths
+        table_optimizer, table_lr = self.table_optimizer, self._table_lr
+        update_freq = model.update_freq
+
+        def train_step(state: SparseRLTrainState, batch):
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            flat_params = traverse_util.flatten_dict(state.params, sep="/")
+            specs = {
+                spec["path"]: spec
+                for spec in model.sharded_table_specs(batch).values()
+                if spec["path"] in table_paths
+            }
+            ids_map = {
+                path: jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+                for path, spec in specs.items()
+            }
+            rows_in = {
+                path: jax.lax.stop_gradient(flat_params[path])[ids]
+                for path, ids in ids_map.items()
+            }
+
+            def compute_loss(params, rows):
+                patched = dict(batch)
+                for path, spec in specs.items():
+                    patched[spec["rows_key"]] = rows[path]
+                prediction, target = model.apply(
+                    {"params": params}, {"params": state.target_params},
+                    patched, train=True, rngs={"dropout": step_rng},
+                )
+                return loss_fn(prediction, target)
+
+            loss, (dense_grads, row_grads) = jax.value_and_grad(
+                compute_loss, argnums=(0, 1)
+            )(state.params, rows_in)
+
+            updates, opt_state = dense_tx.update(
+                dense_grads, state.opt_state, state.params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+
+            step = state.step + 1
+            flat = dict(traverse_util.flatten_dict(params, sep="/"))
+            moments = dict(state.table_moments)
+            for path, ids in ids_map.items():
+                if table_optimizer == "adam":
+                    table, m, v = sparse_lazy_adam(
+                        flat[path], moments[path]["m"], moments[path]["v"],
+                        ids, row_grads[path], step, lr=table_lr)
+                    flat[path] = table
+                    moments[path] = {"m": m, "v": v}
+                else:
+                    upd = (sparse_rowwise_adagrad
+                           if table_optimizer == "rowwise_adagrad"
+                           else sparse_adagrad)
+                    table, acc = upd(flat[path], moments[path]["acc"], ids,
+                                     row_grads[path], lr=table_lr)
+                    flat[path] = table
+                    moments[path] = {"acc": acc}
+            params = traverse_util.unflatten_dict(flat, sep="/")
+
+            target_params = jax.lax.cond(
+                step % update_freq == 0,
+                lambda: params,
+                lambda: state.target_params,
+            )
+            new_state = state.replace(
+                params=params, opt_state=opt_state, step=step,
+                target_params=target_params, table_moments=moments,
+            )
+            return new_state, loss
+
+        return train_step  # pure; jitted by _get_train_step_fn / scan fusion

@@ -1,0 +1,217 @@
+"""Sequence/RL zoo on the sparse + sharded paths (VERDICT r3 #2/#3): DIN /
+SASRec / GRU4Rec / NCF / SVDPP implement ``sparse_table_ids`` /
+``sharded_table_specs`` (the shared item table serves history AND candidate
+gathers through one exchange), the RL QNets inject their eval-net forward
+gathers, and DIN's fit() on the 8-device mesh matches single-device
+numerics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from pytorchrec_tpu.data.schema import TrainMode
+from pytorchrec_tpu.parallel import make_mesh
+from pytorchrec_tpu.tasks import build_model, build_reader, default_reader_kwargs
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+
+DATASET = "Synthetic-ML-SeqSharded"
+
+SEQ_HPARAMS = {
+    "din": {"emb_size": 8, "att_hidden_units": (8,), "mlp_layers": (8,)},
+    "sasrec": {"emb_size": 8, "num_layers": 1, "max_his_len": 5,
+               "dropout": 0.0},  # parity needs deterministic nets: the
+    # sharded step folds the data-shard index into the dropout stream
+    "gru4rec": {"emb_size": 8, "hidden_size": 8},
+    "ncf": {"emb_size": 8, "layers": (8,)},
+    "svdpp": {"emb_size": 8},
+    "dqn": {"emb_size": 8, "hidden_size": 8},
+    "lsrl": {"emb_size": 8, "hidden_size": 8},
+}
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    from pytorchrec_tpu.data.process.datasets.synthetic import (
+        generate_synthetic_ml,
+    )
+
+    tmp = tmp_path_factory.mktemp("wd")
+    os.environ["PYTORCHREC_TPU_WORK_DIR"] = str(tmp)
+    generate_synthetic_ml(DATASET, n_users=40, n_items=104, seed=23)
+    yield str(tmp)
+    os.environ.pop("PYTORCHREC_TPU_WORK_DIR", None)
+
+
+def _reader(model_name, **extra):
+    kwargs = default_reader_kwargs(
+        model_name, neg_sample_n=9, warm_n=5, random_seed=2020,
+        train_mode=TrainMode.POINT_WISE,
+    )
+    if model_name in ("gru4rec", "sasrec", "din"):
+        kwargs["max_his_len"] = 5
+    if model_name in ("dqn", "lsrl"):
+        kwargs["max_state_len"] = 5
+        kwargs["rl_sample_len"] = 4
+    if model_name == "svdpp":
+        kwargs["limit"] = 8
+    kwargs.update(extra)
+    return build_reader(model_name, DATASET, **kwargs)
+
+
+def _train_batch(reader, n=16):
+    return reader.get_batch("train", np.arange(n))
+
+
+@pytest.mark.parametrize("model_name",
+                         ["din", "sasrec", "gru4rec", "ncf", "svdpp"])
+def test_injection_forward_equivalence(dataset_dir, model_name):
+    """model.apply with externally-gathered rows injected through the
+    sharded_table_specs keys == the in-module gathers, bit for bit — the
+    split/ordering of the combined candidate+history block is exact."""
+    reader = _reader(model_name)
+    model = build_model(model_name, reader, **SEQ_HPARAMS[model_name])
+    batch = _train_batch(reader)
+    params = model.init(jax.random.PRNGKey(0), batch, False)["params"]
+    base, _ = model.apply({"params": params}, batch, train=False)
+
+    flat = traverse_util.flatten_dict(params, sep="/")
+    patched = dict(batch)
+    for spec in model.sharded_table_specs(batch).values():
+        ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+        patched[spec["rows_key"]] = flat[spec["path"]][ids]
+    injected, _ = model.apply({"params": params}, patched, train=False)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(injected))
+
+
+@pytest.mark.parametrize("model_name", ["dqn", "lsrl"])
+def test_rl_injection_forward_equivalence(dataset_dir, model_name):
+    """QNet.forward with injected rows == in-module gathers (eval net); the
+    target net's next_forward path is untouched by the rows keys."""
+    reader = _reader(model_name)
+    model = build_model(model_name, reader, **SEQ_HPARAMS[model_name])
+    batch = _train_batch(reader)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    qnet = model.qnet
+    base = qnet.apply(variables, batch, method=qnet.forward)
+
+    flat = traverse_util.flatten_dict(variables["params"], sep="/")
+    patched = dict(batch)
+    for spec in model.sharded_table_specs(batch).values():
+        ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+        patched[spec["rows_key"]] = flat[spec["path"]][ids]
+    injected = qnet.apply(variables, patched, method=qnet.forward)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(injected))
+    # next_forward ignores the injected rows (target-net reads in-module)
+    nf_base = qnet.apply(variables, batch, method=qnet.next_forward)
+    nf_patch = qnet.apply(variables, patched, method=qnet.next_forward)
+    np.testing.assert_array_equal(np.asarray(nf_base), np.asarray(nf_patch))
+
+
+def _tree_allclose(a, b, rtol=2e-3, atol=5e-3):
+    # looser than the FunkSVD parity tests: the attention score MLPs amplify
+    # exchange-order reassociation noise chaotically over an epoch (observed
+    # max ~1.5e-3 absolute on DIN's near-zero attention biases, while every
+    # TABLE leaf agrees to ~1e-6 and eval metrics match exactly)
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("model_name,packed", [
+    ("din", False), ("din", True), ("gru4rec", False), ("sasrec", False),
+])
+def test_sequence_fit_matches_single_device(dataset_dir, model_name, packed):
+    """fit() through the explicit engine on a (data=4, model=2) mesh ==
+    single-device sparse training for the sequence zoo — the BASELINE 'DIN
+    on Amazon' config class can now ride the production sparse path."""
+    from pytorchrec_tpu.training import (
+        ShardedSparseEmbeddingTrainer,
+        SparseEmbeddingTrainer,
+    )
+
+    def run(mesh):
+        reader = _reader(model_name)
+        model = build_model(model_name, reader, table_row_multiple=8,
+                            **SEQ_HPARAMS[model_name])
+        if mesh is None:
+            tr = SparseEmbeddingTrainer(model, packed_tables=packed)
+        else:
+            tr = ShardedSparseEmbeddingTrainer(model, mesh=mesh,
+                                               packed_tables=packed)
+        tr.compile(optimizer="adam", lr=0.01, loss="bce",
+                   metrics=("ndcg@5",), user_sample_n=10)
+        tr.fit(reader, batch_size=16, epochs=1, verbose=0, eval_dev=False,
+               seed=7)
+        ev = tr.evaluate(reader, split="dev", batch_size=16)
+        return tr, ev
+
+    single, e_single = run(None)
+    sharded, e_sharded = run(make_mesh(data=4, model=2))
+    if packed:
+        _tree_allclose(single.unpacked_params(), sharded.unpacked_params())
+    else:
+        _tree_allclose(single.state.params, sharded.state.params)
+        _tree_allclose(single.state.table_moments,
+                       sharded.state.table_moments)
+    assert e_single["ndcg@5"] == pytest.approx(e_sharded["ndcg@5"], abs=1e-6)
+
+
+def test_sparse_rl_trainer_loss_matches_dense_step(dataset_dir):
+    """SparseRLTrainer's first-step loss == RLTrainer's (the injected
+    forward is exact in-situ), and only touched item-table rows move."""
+    from pytorchrec_tpu.training import RLTrainer, SparseRLTrainer
+
+    reader = _reader("dqn")
+    batch = _train_batch(reader)
+
+    def first_loss(cls):
+        model = build_model("dqn", reader, **SEQ_HPARAMS["dqn"])
+        tr = cls(model)
+        tr.compile(optimizer="adam", lr=0.01, loss="mse",
+                   metrics=("ndcg@5",), user_sample_n=10)
+        tr.init_state(batch, seed=3)
+        loss = tr._train_step(batch)
+        return tr, float(loss)
+
+    dense_tr, dense_loss = first_loss(RLTrainer)
+    sparse_tr, sparse_loss = first_loss(SparseRLTrainer)
+    assert sparse_loss == pytest.approx(dense_loss, rel=1e-5)
+
+    # untouched rows stay bit-identical to init; touched rows moved
+    model = build_model("dqn", reader, **SEQ_HPARAMS["dqn"])
+    table = np.asarray(sparse_tr.state.params["i_embedding"]["embedding"])
+    ids = np.unique(np.asarray(model.sparse_table_ids(batch)
+                               ["i_embedding/embedding"]))
+    touched = np.zeros(table.shape[0], bool)
+    touched[ids] = True
+    # target net still equals the pre-sync init copy of untouched rows
+    target = np.asarray(
+        sparse_tr.state.target_params["i_embedding"]["embedding"])
+    np.testing.assert_array_equal(table[~touched], target[~touched])
+    assert np.any(table[touched] != target[touched])
+
+
+def test_sparse_rl_trainer_fit_runs(dataset_dir):
+    """SparseRLTrainer fit(): epoch==batch loop, target sync, ranking eval."""
+    from pytorchrec_tpu.training import SparseRLTrainer
+
+    reader = _reader("lsrl")
+    model = build_model("lsrl", reader, **SEQ_HPARAMS["lsrl"])
+    tr = SparseRLTrainer(model, table_optimizer="rowwise_adagrad")
+    tr.compile(optimizer="adam", lr=0.01, loss="mse",
+               metrics=("ndcg@5",), user_sample_n=10)
+    history = tr.fit(reader, batch_size=16, epochs=5, verbose=0,
+                     eval_dev=False)
+    assert all(np.isfinite(history.history["loss"]))
+    logs = tr.evaluate(reader, split="dev", batch_size=16)
+    assert np.isfinite(logs["ndcg@5"])
