@@ -111,6 +111,14 @@ class CrossNetworkV2(nn.Module):
             from pytorchrec_tpu.ops.kernels import use_pallas_default
 
             use_pallas = use_pallas_default()
+            # the fused kernel keeps ALL layer weights [L, D, D] VMEM-
+            # resident; at large D that exceeds the ~128 MB window (found
+            # at D=3341: 3 layers = 134 MB -> Mosaic allocation failure).
+            # Auto mode falls back to the XLA loop past a safe budget;
+            # explicit use_pallas=True is honored (and will fail loudly).
+            weight_bytes = 4 * self.num_layers * dim * (dim + 1)
+            if weight_bytes > 96 * 1024 * 1024:
+                use_pallas = False
 
         lead = x0.shape[:-1]
         flat = x0.reshape(-1, dim)  # candidate mode [B, N, D] -> [B*N, D]
