@@ -21,7 +21,7 @@ STATUS (measured v5e, 2026-08-18): isolated this kernel wins — 1.47 ms at
 packed train step the custom-call boundary stops XLA from fusing the scan
 into the adjacent permute/optimizer elementwise chain and the full step
 LOSES 8.5 ms (763.3k -> 603.7k ex/s, same link window). It is therefore
-OPT-IN (PYTORCHREC_TPU_SEG_SCAN_PALLAS=1, ops/sparse_update.py dispatcher)
+AUTO-ON at E >= 64 on TPU (measured crossover; ops/sparse_update.py dispatcher)
 — the expected regime for it to win end-to-end is larger E (the XLA twin's
 pass cost scales with E; the fusion saving does not).
 

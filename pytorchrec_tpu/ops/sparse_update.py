@@ -250,20 +250,26 @@ def _segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
 
 def segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
     """Dispatcher. The Pallas single-HBM-pass kernel
-    (ops/kernels/seg_scan.py) is OPT-IN via PYTORCHREC_TPU_SEG_SCAN_PALLAS=1:
-    isolated it beats the XLA shift passes (1.47 ms vs the ~7.6 ms in-step
-    attribution at n=852k, v5e), but IN the packed train step the
-    custom-call is a fusion barrier — XLA can no longer fuse the scan's
-    shift/adds into the surrounding permute/optimizer elementwise chain and
-    the step LOSES 8.5 ms end-to-end (763.3k -> 603.7k ex/s, measured
-    same-window 2026-08-18). Kept for larger-E configs where the scan's HBM
-    traffic (not fusion) dominates."""
+    (ops/kernels/seg_scan.py) auto-enables on TPU at E >= 64 — the
+    measured crossover (`scripts/seg_scan_e_ab.py`, interleaved
+    same-window A/B, v5e-1):
+
+    * E=16 (bench config): the kernel LOSES 8.5 ms end-to-end (763.3k ->
+      603.7k ex/s, 2026-08-18) — the custom-call is a fusion barrier and
+      XLA can no longer fuse the scan's shift/adds into the surrounding
+      permute/optimizer elementwise chain;
+    * E=64: kernel WINS +3.6% (336.0k vs 324.4k ex/s, -35 ms/step);
+    * E=128: kernel WINS +13% (168.6k vs 149.2k, -253 ms/step) — at
+      large E the scan's O(depth) HBM traffic dominates the lost fusion.
+
+    ``PYTORCHREC_TPU_SEG_SCAN_PALLAS=1`` forces it on, ``=0`` off."""
     import os
 
     from pytorchrec_tpu.ops.kernels import use_pallas_default
 
-    if (os.environ.get("PYTORCHREC_TPU_SEG_SCAN_PALLAS")
-            and use_pallas_default() and x.shape[0] >= 512):
+    flag = os.environ.get("PYTORCHREC_TPU_SEG_SCAN_PALLAS")
+    want = x.shape[-1] >= 64 if flag is None or flag == "" else flag != "0"
+    if want and use_pallas_default() and x.shape[0] >= 512:
         from pytorchrec_tpu.ops.kernels.seg_scan import segmented_sum_scan_pallas
 
         return segmented_sum_scan_pallas(x, is_start)

@@ -19,7 +19,10 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-N_DENSE, N_SPARSE, VOCAB, BATCH = 13, 26, 100_000, 32768
+N_DENSE, N_SPARSE, BATCH = 13, 26, 32768
+# bench vocab by default; E=128 needs SEG_SCAN_VOCAB=50000 to fit two
+# warmed [26V, 512]-f32 trainers + step transients in the v5e's 16 GB
+VOCAB = int(os.environ.get("SEG_SCAN_VOCAB", 100_000))
 STEPS, ROUNDS = 10, 3
 
 
@@ -58,7 +61,7 @@ def build(emb, seg_scan_pallas):
     # the env toggle is read at TRACE time (ops/sparse_update.py
     # segmented_sum_scan): set it for init + warm, restore after
     os.environ["PYTORCHREC_TPU_SEG_SCAN_PALLAS"] = (
-        "1" if seg_scan_pallas else "")
+        "1" if seg_scan_pallas else "0")  # "0" forces OFF (auto-on at E>=64)
     t.init_state(batches[0], seed=0)
     t.packed_transfer = False
     t._train_step_fn = None
@@ -80,25 +83,31 @@ def window(t, dev):
 
 def main():
     embs = [int(a) for a in sys.argv[1:]] or [64, 128]
-    trainers = {}
+    medians = {}
+    # one E at a time: an E=128 packed table+staging is ~5 GB on-device, so
+    # all four trainers at once exhaust the 16 GB HBM (found on-chip); the
+    # interleaved protocol only needs the xla/pallas PAIR warmed together
     for emb in embs:
+        trainers = {}
         for pallas in (False, True):
             name = f"E={emb}/{'pallas' if pallas else 'xla'}"
             print(f"building {name} ...", flush=True)
             trainers[name] = build(emb, pallas)
             print(f"  warmed {name}", flush=True)
 
-    results = {n: [] for n in trainers}
-    for r in range(ROUNDS):
-        for name in trainers:
-            exs = window(*trainers[name])
-            results[name].append(exs)
-            print(f"round {r} {name:16s} {exs/1e3:8.1f}k ex/s "
-                  f"({BATCH*STEPS/exs*1e3:.1f} ms/step)", flush=True)
+        results = {n: [] for n in trainers}
+        for r in range(ROUNDS):
+            for name in trainers:
+                exs = window(*trainers[name])
+                results[name].append(exs)
+                print(f"round {r} {name:16s} {exs/1e3:8.1f}k ex/s "
+                      f"({BATCH*STEPS/exs*1e3:.1f} ms/step)", flush=True)
+        for name in results:
+            medians[name] = float(np.median(results[name]))
+        trainers.clear()  # free device tables before the next E
 
     print("\n=== medians ===")
-    for name in results:
-        med = float(np.median(results[name]))
+    for name, med in medians.items():
         print(f"{name:16s} {med/1e3:8.1f}k ex/s "
               f"({BATCH*STEPS/med*1e3:.1f} ms/step)")
 
