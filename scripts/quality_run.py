@@ -24,6 +24,10 @@ def main():
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--epochs", type=int, default=30)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--models", type=str, default="",
+                        help="comma-separated subset of the config list "
+                             "(e.g. 'din,sasrec' for the on-chip "
+                             "Pallas-kernel quality rows)")
     parser.add_argument("--sequential", action="store_true",
                         help="run on the Markov-structured dataset where the "
                              "next item's cluster is predictable from history "
@@ -76,6 +80,9 @@ def main():
             ("gru4rec", {"emb_size": 32, "hidden_size": 32}, "bce",
              TrainMode.POINT_WISE, {"max_his_len": 10}),
         ]
+    if args.models:
+        keep = {m.strip() for m in args.models.split(",")}
+        configs = [c for c in configs if c[0] in keep]
     rows = []
     for model_name, hp, loss, mode, extra_reader in configs:
         task = RepeatTask(
