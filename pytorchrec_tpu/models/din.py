@@ -38,6 +38,13 @@ class DIN(RecModel):
     # round table rows up so they divide a mesh 'model' axis (explicit
     # sharded trainer; padding rows are never referenced)
     table_row_multiple: int = 1
+    # item table as int8/int4 packed byte rows (q||scale||acc, one uint8
+    # leaf — ops/quantized_packed.py). Train with QuantizedEmbeddingTrainer
+    # (packed_tables=True) or ShardedSparseEmbeddingTrainer; the forward
+    # dequantizes in-module when no trainer injects rows.
+    quantized_table: bool = False
+    table_bits: int = 8
+    scale_col_groups: int = 1
 
     # sharded/sparse trainer injection keys: the ITEM table serves both the
     # [B, N] candidate gather and the [B, S] history gather — both flatten
@@ -49,11 +56,36 @@ class DIN(RecModel):
         m = self.table_row_multiple
         self.u_embeddings = Embedding(
             _round_up(self.uid_column.category_num, m), self.emb_size)
-        self.i_embeddings = Embedding(
-            _round_up(self.iid_column.category_num, m), self.emb_size)
+        if self.quantized_table:
+            # the PRODUCTION-SCALE table (items — BASELINE 'DIN on Amazon')
+            # as int8/int4 packed byte rows (ops/quantized_packed.py); the
+            # small user table stays f32. Composes the build's fastest
+            # table format with the sequence family.
+            from pytorchrec_tpu.ops.quantized_packed import packed_table_init
+
+            self.i_q = self.param(
+                "i_q",
+                packed_table_init(self.emb_size, self.table_bits,
+                                  self.scale_col_groups),
+                (_round_up(self.iid_column.category_num, m),))
+        else:
+            self.i_embeddings = Embedding(
+                _round_up(self.iid_column.category_num, m), self.emb_size)
         self.attention = DINAttentionPool(hidden_units=tuple(self.att_hidden_units))
         self.mlp = MLP(tuple(self.mlp_layers), activation="relu", dropout=self.dropout)
         self.head = nn.Dense(1, use_bias=False, kernel_init=normal_init)
+
+    def _item_vectors(self, ids):
+        """[ids..., E] f32 from the item table (f32 or quantized packed)."""
+        if self.quantized_table:
+            from pytorchrec_tpu.ops.quantized_packed import (
+                packed_gather_dequant,
+            )
+
+            return packed_gather_dequant(self.i_q, ids, self.emb_size,
+                                         self.table_bits,
+                                         self.scale_col_groups)
+        return self.i_embeddings(ids)
 
     def __call__(self, batch: Batch, train: bool = False) -> Prediction:
         u_ids = self.uid_column.get_feature_data(batch)  # [B]
@@ -77,8 +109,8 @@ class DIN(RecModel):
             i_vectors = rows[:n_cand].reshape(*i_ids.shape, self.emb_size)
             his_vectors = rows[n_cand:].reshape(*his_ids.shape, self.emb_size)
         else:
-            i_vectors = self.i_embeddings(i_ids)  # [B, N, E]
-            his_vectors = self.i_embeddings(his_ids)  # [B, S, E]
+            i_vectors = self._item_vectors(i_ids)  # [B, N, E]
+            his_vectors = self._item_vectors(his_ids)  # [B, S, E]
 
         interest = self.attention(his_vectors, i_vectors, valid_his, train=train)  # [B, N, E]
 
@@ -115,12 +147,36 @@ class DIN(RecModel):
 
     def sharded_table_specs(self, batch: Batch):
         """Explicit sharded-table protocol
-        (training/sharded_sparse_trainer.py)."""
+        (training/sharded_sparse_trainer.py). With ``quantized_table`` the
+        item spec points at the packed byte-row leaf and carries the
+        ``"quantized"`` block — int8 rows + scales ship on the exchange
+        return hop, the owner shard updates byte rows in place (same
+        machinery as the CTR family's ``unified_q``)."""
+        i_spec = {"ids": self._item_gather_ids(batch),
+                  "rows_key": self.I_ROWS_KEY}
+        if self.quantized_table:
+            i_spec["path"] = "i_q"
+            i_spec["quantized"] = {"emb_size": self.emb_size,
+                                   "bits": self.table_bits,
+                                   "col_groups": self.scale_col_groups}
+        else:
+            i_spec["path"] = "i_embeddings/embedding"
         return {
             "u": {"path": "u_embeddings/embedding",
                   "ids": self.uid_column.get_feature_data(batch),
                   "rows_key": self.U_ROWS_KEY},
-            "i": {"path": "i_embeddings/embedding",
+            "i": i_spec,
+        }
+
+    def quantized_table_spec(self, batch: Batch):
+        """Quantized-trainer protocol (training/quantized_trainer.py,
+        ``packed_tables=True``): the item table lazily updates over touched
+        byte rows; the (small) user table + dense nets train dense-Adam."""
+        assert self.quantized_table
+        return {
+            "i": {"q": "i_q", "scale": None,
                   "ids": self._item_gather_ids(batch),
-                  "rows_key": self.I_ROWS_KEY},
+                  "rows_key": self.I_ROWS_KEY, "bits": self.table_bits,
+                  "col_groups": self.scale_col_groups, "packed": True,
+                  "emb_size": self.emb_size},
         }

@@ -107,6 +107,57 @@ def dequant_packed_rows(rows: jnp.ndarray, emb_dim: int, bits: int = 8,
     return dequantize_rows(q, scale, bits=bits, col_groups=col_groups)
 
 
+def packed_table_init(emb_dim: int, bits: int = 8, col_groups: int = 1,
+                      init=None, chunk: int = 2_000_000):
+    """Flax param initializer factory for a packed quantized table leaf:
+    ``self.param("x_q", packed_table_init(E, bits, G), (vocab,))`` declares
+    the ``[vocab, packed_q_width(...)]`` uint8 q||scale||acc||staging rows
+    seeded from ``init(rng, (n, E))`` f32 rows (default: the embedding
+    layer's normal(0, 0.01)).
+
+    Chunked: the normal->quantize->pack chain keeps several [V, E] f32
+    temporaries live inside the one init jit — at 26M rows that transient
+    peak OOMs a 16 GB chip even though the packed result is 3.3 GB.
+
+    Shared by every model that offers int8/int4 byte-row tables (the CTR
+    family's ``unified_q``, DIN's item table, ...)."""
+    from pytorchrec_tpu.ops.embedding import normal_init
+    from pytorchrec_tpu.ops.kernels.quantize import quantize_rows_xla
+
+    assert bits in (8, 4)
+    assert bits == 8 or emb_dim % 2 == 0, "int4 packing needs even emb_size"
+    assert emb_dim % col_groups == 0, (emb_dim, col_groups)
+    row_init = init if init is not None else normal_init
+
+    def _pack_chunk(rng, n):
+        rows = row_init(rng, (n, emb_dim))
+        q, s = quantize_rows_xla(rows, bits=bits, col_groups=col_groups)
+        acc = jnp.zeros((n,), jnp.float32)
+        return pack_quantized_table(q, s, acc, emb_dim, bits, col_groups)
+
+    def packed_init(rng, shape):
+        n = shape[0]
+        if n <= chunk:
+            return _pack_chunk(rng, n)
+        parts = [
+            _pack_chunk(jax.random.fold_in(rng, i), min(chunk, n - start))
+            for i, start in enumerate(range(0, n, chunk))
+        ]
+        return jnp.concatenate(parts)
+
+    return packed_init
+
+
+def packed_gather_dequant(packed: jnp.ndarray, ids: jnp.ndarray,
+                          emb_dim: int, bits: int = 8,
+                          col_groups: int = 1) -> jnp.ndarray:
+    """``[ids..., E]`` f32 rows gathered+dequantized from a ``[V, W]`` u8
+    packed leaf (forward path when no trainer injects rows)."""
+    flat = jnp.reshape(packed[jnp.reshape(ids, (-1,))], (-1, packed.shape[1]))
+    rows = dequant_packed_rows(flat, emb_dim, bits, col_groups)
+    return jnp.reshape(rows, (*ids.shape, emb_dim))
+
+
 def packed_quantized_update(
     packed: jnp.ndarray,    # [V, W] u8 (pack_quantized_table)
     rows: jnp.ndarray,      # [n, W] the forward gather of packed at ids
