@@ -25,6 +25,10 @@ class GRU4Rec(RecModel):
     hidden_size: int = 64
     # round item-table rows so they divide a mesh 'model' axis
     table_row_multiple: int = 1
+    # item table as int8/int4 packed byte rows (same contracts as DIN)
+    quantized_table: bool = False
+    table_bits: int = 8
+    scale_col_groups: int = 1
 
     # sharded/sparse injection: candidates + history share the item table,
     # one flattened gather [B*N | B*S] (split back by position below)
@@ -32,8 +36,17 @@ class GRU4Rec(RecModel):
 
     def setup(self):
         m = self.table_row_multiple
-        self.i_embeddings = Embedding(
-            -(-self.iid_column.category_num // m) * m, self.emb_size)
+        rows = -(-self.iid_column.category_num // m) * m
+        if self.quantized_table:
+            from pytorchrec_tpu.ops.quantized_packed import packed_table_init
+
+            self.i_q = self.param(
+                "i_q",
+                packed_table_init(self.emb_size, self.table_bits,
+                                  self.scale_col_groups),
+                (rows,))
+        else:
+            self.i_embeddings = Embedding(rows, self.emb_size)
         self.rnn = MaskedGRU(hidden_size=self.hidden_size)
         self.out = nn.Dense(self.emb_size, use_bias=False, kernel_init=normal_init)
 
@@ -55,8 +68,8 @@ class GRU4Rec(RecModel):
             i_vectors = rows[:n_cand].reshape(*i_ids.shape, self.emb_size)
             his_vectors = rows[n_cand:].reshape(*his_ids.shape, self.emb_size)
         else:
-            i_vectors = self.i_embeddings(i_ids)  # [B, N, E]
-            his_vectors = self.i_embeddings(his_ids)  # [B, S, E]
+            i_vectors = self._item_vectors(i_ids)  # [B, N, E]
+            his_vectors = self._item_vectors(his_ids)  # [B, S, E]
 
         hidden = self.rnn(his_vectors, his_len)  # [B, H]
         rnn_vector = self.out(hidden)  # [B, E]
@@ -67,6 +80,17 @@ class GRU4Rec(RecModel):
         return prediction, label_target(self.label_column, batch)
 
     # --- sparse/sharded trainer protocols (same contracts as FunkSVD) ---
+
+    def _item_vectors(self, ids):
+        if self.quantized_table:
+            from pytorchrec_tpu.ops.quantized_packed import (
+                packed_gather_dequant,
+            )
+
+            return packed_gather_dequant(self.i_q, ids, self.emb_size,
+                                         self.table_bits,
+                                         self.scale_col_groups)
+        return self.i_embeddings(ids)
 
     def _item_gather_ids(self, batch: Batch) -> jnp.ndarray:
         i_ids = jnp.asarray(self.iid_column.get_feature_data(batch))
@@ -79,8 +103,24 @@ class GRU4Rec(RecModel):
         return {"i_embeddings/embedding": self._item_gather_ids(batch)}
 
     def sharded_table_specs(self, batch: Batch):
+        i_spec = {"ids": self._item_gather_ids(batch),
+                  "rows_key": self.I_ROWS_KEY}
+        if self.quantized_table:
+            i_spec["path"] = "i_q"
+            i_spec["quantized"] = {"emb_size": self.emb_size,
+                                   "bits": self.table_bits,
+                                   "col_groups": self.scale_col_groups}
+        else:
+            i_spec["path"] = "i_embeddings/embedding"
+        return {"i": i_spec}
+
+    def quantized_table_spec(self, batch: Batch):
+        """Quantized-trainer protocol (training/quantized_trainer.py)."""
+        assert self.quantized_table
         return {
-            "i": {"path": "i_embeddings/embedding",
+            "i": {"q": "i_q", "scale": None,
                   "ids": self._item_gather_ids(batch),
-                  "rows_key": self.I_ROWS_KEY},
+                  "rows_key": self.I_ROWS_KEY, "bits": self.table_bits,
+                  "col_groups": self.scale_col_groups, "packed": True,
+                  "emb_size": self.emb_size},
         }

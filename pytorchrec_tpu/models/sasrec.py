@@ -33,6 +33,12 @@ class SASRec(RecModel):
     # round the item table's rows so they divide a mesh 'model' axis
     # (the position table stays dense/replicated — max_his_len+1 rows)
     table_row_multiple: int = 1
+    # item table as int8/int4 packed byte rows (ops/quantized_packed.py);
+    # train with QuantizedEmbeddingTrainer(packed_tables=True) or the
+    # sharded engine (same contracts as DIN)
+    quantized_table: bool = False
+    table_bits: int = 8
+    scale_col_groups: int = 1
 
     # sharded/sparse injection: candidates + history share the item table,
     # one flattened gather [B*N | B*S] (split back by position below)
@@ -40,8 +46,17 @@ class SASRec(RecModel):
 
     def setup(self):
         m = self.table_row_multiple
-        self.i_embeddings = Embedding(
-            -(-self.iid_column.category_num // m) * m, self.emb_size)
+        rows = -(-self.iid_column.category_num // m) * m
+        if self.quantized_table:
+            from pytorchrec_tpu.ops.quantized_packed import packed_table_init
+
+            self.i_q = self.param(
+                "i_q",
+                packed_table_init(self.emb_size, self.table_bits,
+                                  self.scale_col_groups),
+                (rows,))
+        else:
+            self.i_embeddings = Embedding(rows, self.emb_size)
         self.p_embeddings = Embedding(self.max_his_len + 1, self.emb_size)
         if self.share_layer_weights:
             shared = SASRecBlock(emb_size=self.emb_size, dropout=self.dropout,
@@ -75,8 +90,8 @@ class SASRec(RecModel):
             i_vectors = rows[:n_cand].reshape(*i_ids.shape, self.emb_size)
             his_vectors = rows[n_cand:].reshape(*his_ids.shape, self.emb_size)
         else:
-            i_vectors = self.i_embeddings(i_ids)  # [B, N, E]
-            his_vectors = self.i_embeddings(his_ids)  # [B, S, E]
+            i_vectors = self._item_vectors(i_ids)  # [B, N, E]
+            his_vectors = self._item_vectors(his_ids)  # [B, S, E]
 
         pos_ids = get_position_ids(valid_his, his_len)  # [B, S]
         his_vectors = his_vectors + self.p_embeddings(pos_ids)
@@ -90,6 +105,17 @@ class SASRec(RecModel):
 
     # --- sparse/sharded trainer protocols (same contracts as FunkSVD) ---
 
+    def _item_vectors(self, ids):
+        if self.quantized_table:
+            from pytorchrec_tpu.ops.quantized_packed import (
+                packed_gather_dequant,
+            )
+
+            return packed_gather_dequant(self.i_q, ids, self.emb_size,
+                                         self.table_bits,
+                                         self.scale_col_groups)
+        return self.i_embeddings(ids)
+
     def _item_gather_ids(self, batch: Batch) -> jnp.ndarray:
         i_ids = jnp.asarray(self.iid_column.get_feature_data(batch))
         if i_ids.ndim == 1:
@@ -101,8 +127,24 @@ class SASRec(RecModel):
         return {"i_embeddings/embedding": self._item_gather_ids(batch)}
 
     def sharded_table_specs(self, batch: Batch):
+        i_spec = {"ids": self._item_gather_ids(batch),
+                  "rows_key": self.I_ROWS_KEY}
+        if self.quantized_table:
+            i_spec["path"] = "i_q"
+            i_spec["quantized"] = {"emb_size": self.emb_size,
+                                   "bits": self.table_bits,
+                                   "col_groups": self.scale_col_groups}
+        else:
+            i_spec["path"] = "i_embeddings/embedding"
+        return {"i": i_spec}
+
+    def quantized_table_spec(self, batch: Batch):
+        """Quantized-trainer protocol (training/quantized_trainer.py)."""
+        assert self.quantized_table
         return {
-            "i": {"path": "i_embeddings/embedding",
+            "i": {"q": "i_q", "scale": None,
                   "ids": self._item_gather_ids(batch),
-                  "rows_key": self.I_ROWS_KEY},
+                  "rows_key": self.I_ROWS_KEY, "bits": self.table_bits,
+                  "col_groups": self.scale_col_groups, "packed": True,
+                  "emb_size": self.emb_size},
         }

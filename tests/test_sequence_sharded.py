@@ -333,3 +333,71 @@ class TestDINQuantizedTable:
         pred, _ = t._eval_step(b)
         assert np.asarray(pred).shape == (B, 3)
         assert np.isfinite(np.asarray(pred)).all()
+
+
+@pytest.mark.parametrize("model_cls_name", ["sasrec", "gru4rec"])
+def test_seq_quantized_table_single_vs_sharded_one_step(model_cls_name):
+    """SASRec/GRU4Rec item tables as int8 packed byte rows (round 4): same
+    one-step bit-parity contract as TestDINQuantizedTable (single-device
+    QuantizedEmbeddingTrainer vs the sharded engine, identical init+batch
+    + id-keyed rounding => identical i_q bytes)."""
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    from pytorchrec_tpu.feature_column import (
+        CategoricalColumnWithIdentity as col,
+    )
+    from pytorchrec_tpu.models.gru4rec import GRU4Rec
+    from pytorchrec_tpu.models.sasrec import SASRec
+    from pytorchrec_tpu.ops.quantized_packed import unpack_quantized_table
+    from pytorchrec_tpu.training import ShardedSparseEmbeddingTrainer
+    from pytorchrec_tpu.training.quantized_trainer import (
+        QuantizedEmbeddingTrainer,
+    )
+
+    B, VI, S, E = 64, 256, 5, 8
+    common = dict(
+        iid_column=col(feature_name="iid", category_num=VI),
+        his_column=col(feature_name="pos_his", category_num=VI),
+        his_len_column=col(feature_name="pos_his_len", category_num=S + 1),
+        label_column=col(feature_name="label", category_num=2),
+        emb_size=E, quantized_table=True, table_row_multiple=8)
+
+    def mk():
+        if model_cls_name == "sasrec":
+            return SASRec(max_his_len=S, num_layers=1, dropout=0.0, **common)
+        return GRU4Rec(hidden_size=8, **common)
+
+    rr = np.random.default_rng(3)
+    b = {"iid": rr.integers(0, VI, size=B).astype(np.int32),
+         "pos_his": rr.integers(1, VI, size=(B, S)).astype(np.int32),
+         "pos_his_len": rr.integers(1, S + 1, size=B).astype(np.int32),
+         "label": rr.integers(0, 2, size=B).astype(np.int32)}
+
+    qt = QuantizedEmbeddingTrainer(mk(), packed_tables=True)
+    qt.compile(optimizer="adam", lr=1e-2, loss="bce", metrics=("auc",))
+    qt.init_state(b, seed=0)
+    lq = float(qt._train_step(b))
+
+    st = ShardedSparseEmbeddingTrainer(
+        mk(), mesh=make_mesh(data=4, model=2), strategy="1d",
+        packed_tables=True)
+    st.compile(optimizer="adam", lr=1e-2, loss="bce", metrics=("auc",))
+    st.init_state(b, seed=0)
+    ls = float(st._train_step(b))
+
+    assert abs(lq - ls) < 1e-5, (lq, ls)
+    fq = traverse_util.flatten_dict(
+        jax.device_get(qt.state.params), sep="/")["i_q"]
+    fs = traverse_util.flatten_dict(
+        jax.device_get(st.merged_params()), sep="/")["i_q"]
+    q1, s1, _ = unpack_quantized_table(jnp.asarray(fq), E)
+    q2, s2, _ = unpack_quantized_table(jnp.asarray(fs), E)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-7)
+
+    # and it learns: a few more single-device steps reduce the fixed-batch
+    # loss
+    for _ in range(12):
+        last = float(qt._train_step(b))
+    assert last < lq - 0.01, (lq, last)
