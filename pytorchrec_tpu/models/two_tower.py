@@ -93,13 +93,30 @@ class TwoTower(RecModel):
     U_ROWS_KEY = "__rows__tt_u"
     I_ROWS_KEY = "__rows__tt_i"
     table_row_multiple: int = 1
+    # item table as int8/int4 packed byte rows (same contracts as DIN);
+    # the serving/index-build entry dequantizes in-graph
+    quantized_table: bool = False
+    table_bits: int = 8
+    scale_col_groups: int = 1
 
     def setup(self):
         m = self.table_row_multiple
         self.u_embeddings = Embedding(
             _round_up(self.uid_column.category_num, m), self.emb_size)
-        self.i_embeddings = Embedding(
-            _round_up(self.iid_column.category_num, m), self.emb_size)
+        if self.quantized_table:
+            # the CORPUS-SCALE table (items) as int8/int4 packed byte rows
+            # (ops/quantized_packed.py, same contracts as DIN): 4-16x less
+            # serving/index-build memory; the user table stays f32
+            from pytorchrec_tpu.ops.quantized_packed import packed_table_init
+
+            self.i_q = self.param(
+                "i_q",
+                packed_table_init(self.emb_size, self.table_bits,
+                                  self.scale_col_groups),
+                (_round_up(self.iid_column.category_num, m),))
+        else:
+            self.i_embeddings = Embedding(
+                _round_up(self.iid_column.category_num, m), self.emb_size)
         self.user_mlp = MLP(tuple(self.layers), activation="relu")
         self.item_mlp = MLP(tuple(self.layers), activation="relu")
         self.user_proj = nn.Dense(self.layers[-1], kernel_init=normal_init)
@@ -124,7 +141,18 @@ class TwoTower(RecModel):
 
     def item_vectors(self, i_ids: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """ids [...] -> tower output [..., D]. Serving / index-build entry."""
-        return self.item_vectors_from(self.i_embeddings(i_ids), train=train)
+        return self.item_vectors_from(self._item_emb(i_ids), train=train)
+
+    def _item_emb(self, ids: jnp.ndarray) -> jnp.ndarray:
+        if self.quantized_table:
+            from pytorchrec_tpu.ops.quantized_packed import (
+                packed_gather_dequant,
+            )
+
+            return packed_gather_dequant(self.i_q, ids, self.emb_size,
+                                         self.table_bits,
+                                         self.scale_col_groups)
+        return self.i_embeddings(ids)
 
     # --- training / eval forward ---
 
@@ -140,7 +168,7 @@ class TwoTower(RecModel):
         u_emb = (jnp.reshape(u_rows, (*u_ids.shape, self.emb_size))
                  if u_rows is not None else self.u_embeddings(u_ids))
         i_emb = (jnp.reshape(i_rows, (*i_ids.shape, self.emb_size))
-                 if i_rows is not None else self.i_embeddings(i_ids))
+                 if i_rows is not None else self._item_emb(i_ids))
 
         u_vec = self.user_vectors_from(u_emb, train=train)      # [B, D]
         i_vec = self.item_vectors_from(i_emb, train=train)      # [B(,N), D]
@@ -216,11 +244,29 @@ class TwoTower(RecModel):
     def sharded_table_specs(self, batch: Batch):
         """Explicit sharded-table protocol
         (training/sharded_sparse_trainer.py)."""
+        i_spec = {"ids": self.iid_column.get_feature_data(batch),
+                  "rows_key": self.I_ROWS_KEY}
+        if self.quantized_table:
+            i_spec["path"] = "i_q"
+            i_spec["quantized"] = {"emb_size": self.emb_size,
+                                   "bits": self.table_bits,
+                                   "col_groups": self.scale_col_groups}
+        else:
+            i_spec["path"] = "i_embeddings/embedding"
         return {
             "u": {"path": "u_embeddings/embedding",
                   "ids": self.uid_column.get_feature_data(batch),
                   "rows_key": self.U_ROWS_KEY},
-            "i": {"path": "i_embeddings/embedding",
-                  "ids": self.iid_column.get_feature_data(batch),
-                  "rows_key": self.I_ROWS_KEY},
+            "i": i_spec,
+        }
+
+    def quantized_table_spec(self, batch: Batch):
+        """Quantized-trainer protocol (training/quantized_trainer.py)."""
+        assert self.quantized_table
+        i_ids = jnp.asarray(self.iid_column.get_feature_data(batch))
+        return {
+            "i": {"q": "i_q", "scale": None, "ids": i_ids,
+                  "rows_key": self.I_ROWS_KEY, "bits": self.table_bits,
+                  "col_groups": self.scale_col_groups, "packed": True,
+                  "emb_size": self.emb_size},
         }

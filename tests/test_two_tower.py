@@ -359,3 +359,80 @@ class TestGlobalNegatives:
         assert np.isfinite(float(loss))
         pred, _ = t._eval_step(batch)
         assert np.asarray(pred).shape == (32, 3)
+
+
+class TestQuantizedItemTable:
+    """TwoTower item table as int8 packed byte rows (round 4): trains via
+    QuantizedEmbeddingTrainer and the sharded engine, and the serving /
+    index-build entry (`item_vectors`) dequantizes in-graph."""
+
+    def test_trains_and_serves(self):
+        from pytorchrec_tpu.training.quantized_trainer import (
+            QuantizedEmbeddingTrainer,
+        )
+
+        rng = np.random.default_rng(4)
+        model = _make_model(n_users=40, n_items=120, quantized_table=True)
+        t = QuantizedEmbeddingTrainer(model, packed_tables=True)
+        t.compile(optimizer="adam", lr=0.01, loss="softmax",
+                  metrics=("hit@5",), user_sample_n=10)
+        batch = {"uid": jnp.asarray(rng.integers(0, 40, size=32)),
+                 "iid": jnp.asarray(rng.integers(0, 120, size=(32, 3)))}
+        t.init_state(batch, seed=0)
+        # the normalized+temperature contrastive loss has a ~20-step
+        # warm-up plateau at this tiny init (towers must differentiate
+        # before row grads carry signal); 40 steps crosses it
+        losses = [float(t._train_step(batch)) for _ in range(40)]
+        assert losses[-1] < losses[0] - 0.3, (losses[0], losses[-1])
+
+        # index build: corpus item vectors from the quantized leaf
+        vecs = model.apply({"params": jax.device_get(t.state.params)},
+                           jnp.arange(120), method=model.item_vectors)
+        assert np.asarray(vecs).shape == (120, 8)
+        assert np.isfinite(np.asarray(vecs)).all()
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_sharded_one_step_bit_parity(self):
+        from flax import traverse_util
+
+        from pytorchrec_tpu.ops.quantized_packed import unpack_quantized_table
+        from pytorchrec_tpu.parallel import make_mesh
+        from pytorchrec_tpu.training import ShardedSparseEmbeddingTrainer
+        from pytorchrec_tpu.training.quantized_trainer import (
+            QuantizedEmbeddingTrainer,
+        )
+
+        rng = np.random.default_rng(5)
+        # POINTWISE layout: the in-batch softmax pool is per-device under
+        # the sharded trainer (ln(B/d) vs ln(B) — local-negative semantics,
+        # not a table bug), so the parity twin uses the per-row path where
+        # both trainers compute the identical loss
+        batch = {"uid": jnp.asarray(rng.integers(0, 40, size=32)),
+                 "iid": jnp.asarray(rng.integers(0, 120, size=32)),
+                 "label": jnp.asarray(rng.integers(0, 2, size=32))}
+
+        def mk():
+            return _make_model(n_users=40, n_items=120, quantized_table=True,
+                               table_row_multiple=8)
+
+        qt = QuantizedEmbeddingTrainer(mk(), packed_tables=True)
+        qt.compile(optimizer="adam", lr=0.01, loss="bce", metrics=())
+        qt.init_state(batch, seed=0)
+        lq = float(qt._train_step(batch))
+
+        st = ShardedSparseEmbeddingTrainer(
+            mk(), mesh=make_mesh(data=4, model=2), strategy="1d",
+            packed_tables=True)
+        st.compile(optimizer="adam", lr=0.01, loss="bce", metrics=())
+        st.init_state(batch, seed=0)
+        ls = float(st._train_step(batch))
+
+        assert abs(lq - ls) < 1e-5, (lq, ls)
+        fq = traverse_util.flatten_dict(
+            jax.device_get(qt.state.params), sep="/")["i_q"]
+        fs = traverse_util.flatten_dict(
+            jax.device_get(st.merged_params()), sep="/")["i_q"]
+        q1, s1, _ = unpack_quantized_table(jnp.asarray(fq), 8)
+        q2, s2, _ = unpack_quantized_table(jnp.asarray(fs), 8)
+        np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-7)
