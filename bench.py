@@ -297,13 +297,16 @@ def _load_cache(src: str) -> dict:
     return cache
 
 
-# Per-row-latency floor at this config (b32768, RESULTS.md step
-# decomposition scripts/step_decomposition.py): the step's three
-# irreducible fast-width row passes + sort + dense compute sum to ~36.9 ms
-# (the measured 42.9 ms f32 step ran at 86% of it). Row ops are
-# latency-bound (~29/107 ns/row regardless of row bytes), so the floor is
-# shared by the f32 and int8 packed layouts.
-ROW_LATENCY_FLOOR_MS = 36.9
+# Per-config per-row-latency floors at b32768 (the sum of each layout's
+# three irreducible fast-width row passes, measured in isolation —
+# RESULTS.md step decomposition + width-rule tables):
+#   f32-packed  [852k, 64] f32 rows: 11.6 (fwd gather) + 11.6 (update
+#               permute) + 13.7 (scatter-set) = 36.9 ms
+#   int8-packed [852k, 128] u8 rows:  8.6 + 8.6 + 3.7 = 20.9 ms
+# (The int8 floor is LOWER — byte rows move fewer bytes once vectorized —
+# so its pct-of-floor is not comparable to f32's; each config reports
+# against its own layout's floor.)
+ROW_LATENCY_FLOOR_MS = {"f32-packed": 36.9, "int8-packed": 20.9}
 
 CONFIGS = ("int8-packed", "f32-packed")  # fastest first = headline
 
@@ -330,7 +333,7 @@ def main():
             "best_known": round(best_known, 1),
             "n_windows": len(windows),
             "pct_of_row_latency_floor": (
-                round(100.0 * ROW_LATENCY_FLOOR_MS / step_ms, 1)
+                round(100.0 * ROW_LATENCY_FLOOR_MS[config] / step_ms, 1)
                 if step_ms else None),
         }
         if error:
@@ -357,8 +360,8 @@ def main():
             f"windows on the {head_cfg} table format "
             f"(best this run {round(head['best']/1e6, 2)}M, best "
             f"same-source ever {round(head['best_known']/1e6, 2)}M, "
-            f"{head['pct_of_row_latency_floor']}% of the "
-            f"{ROW_LATENCY_FLOOR_MS} ms per-row-latency floor). "
+            f"{head['pct_of_row_latency_floor']}% of this layout's "
+            f"{ROW_LATENCY_FLOOR_MS[head_cfg]} ms per-row-latency floor). "
             f"Measured over device-resident batches: the dev tunnel moves "
             f"host batches at ~46 MB/s (~114 ms per 5.2 MB batch), an "
             f"environment artifact a production host's prefetch pipeline "
