@@ -88,31 +88,33 @@ def main():
     with gzip.open(files[0], "rt") as f:
         trace = json.load(f)
 
-    # device-op events: pid of the TPU op track; sum dur by (clean) name
+    # device-op events: sum dur by FULL op name (fusion.N stays distinct),
+    # keep the long_name (HLO expression) of the heaviest for attribution
     bins = defaultdict(float)
+    long_names = {}
     total = 0.0
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X" or "dur" not in ev:
             continue
-        cat = (ev.get("args") or {}).get("long_name", "") or ev.get("name", "")
         name = ev.get("name", "")
-        # keep XLA op events (fusion/copy/sort/custom-call names)
         if not name or name.startswith(("process_", "Steal", "Infeed")):
             continue
-        tid_name = str(ev.get("pid", "")) + "/" + str(ev.get("tid", ""))
-        del tid_name
         if any(k in name for k in ("fusion", "copy", "sort", "custom-call",
                                    "convert", "scatter", "gather", "bitcast",
                                    "while", "dynamic", "reduce", "dot",
                                    "transpose", "select", "broadcast",
                                    "concatenate", "slice", "iota", "tuple")):
-            bins[name.split(".")[0]] += ev["dur"]
+            bins[name] += ev["dur"]
             total += ev["dur"]
+            ln = (ev.get("args") or {}).get("long_name", "")
+            if ln:
+                long_names[name] = ln
     steps = 3
     print(f"total attributed device time: {total/1e3/steps:.2f} ms/step "
           f"({args.config})")
-    for name, dur in sorted(bins.items(), key=lambda kv: -kv[1])[:20]:
-        print(f"  {name:40s} {dur/1e3/steps:8.3f} ms/step")
+    for name, dur in sorted(bins.items(), key=lambda kv: -kv[1])[:25]:
+        ln = long_names.get(name, "")[:140]
+        print(f"  {name:30s} {dur/1e3/steps:8.3f} ms/step  {ln}")
 
 
 if __name__ == "__main__":
