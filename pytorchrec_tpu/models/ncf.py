@@ -33,6 +33,11 @@ class NCF(RecModel):
     dropout: float = 0.2
     # round table rows so they divide a mesh 'model' axis
     table_row_multiple: int = 1
+    # BOTH item tables (GMF + MLP) as int8/int4 packed byte rows (same
+    # contracts as DIN); user tables stay f32
+    quantized_table: bool = False
+    table_bits: int = 8
+    scale_col_groups: int = 1
 
     # sharded/sparse injection keys: user rows gather once per ROW ([B]) and
     # broadcast over candidates (same values the reference's broadcast
@@ -47,9 +52,17 @@ class NCF(RecModel):
         nu = -(-self.uid_column.category_num // m) * m
         ni = -(-self.iid_column.category_num // m) * m
         self.mf_u_embeddings = Embedding(nu, self.emb_size)
-        self.mf_i_embeddings = Embedding(ni, self.emb_size)
         self.mlp_u_embeddings = Embedding(nu, self.emb_size)
-        self.mlp_i_embeddings = Embedding(ni, self.emb_size)
+        if self.quantized_table:
+            from pytorchrec_tpu.ops.quantized_packed import packed_table_init
+
+            init = packed_table_init(self.emb_size, self.table_bits,
+                                     self.scale_col_groups)
+            self.mf_i_q = self.param("mf_i_q", init, (ni,))
+            self.mlp_i_q = self.param("mlp_i_q", init, (ni,))
+        else:
+            self.mf_i_embeddings = Embedding(ni, self.emb_size)
+            self.mlp_i_embeddings = Embedding(ni, self.emb_size)
         self.mlp = MLP(tuple(self.layers), activation="relu", dropout=self.dropout)
         self.prediction_head = nn.Dense(1, use_bias=False, kernel_init=normal_init)
 
@@ -57,6 +70,14 @@ class NCF(RecModel):
         rows = batch.get(key)
         if rows is not None:
             return jnp.reshape(rows, (*ids.shape, self.emb_size))
+        if isinstance(table, str):  # quantized packed leaf attribute name
+            from pytorchrec_tpu.ops.quantized_packed import (
+                packed_gather_dequant,
+            )
+
+            return packed_gather_dequant(getattr(self, table), ids,
+                                         self.emb_size, self.table_bits,
+                                         self.scale_col_groups)
         return table(ids)
 
     def __call__(self, batch: Batch, train: bool = False) -> Prediction:
@@ -72,10 +93,13 @@ class NCF(RecModel):
                              self.mf_u_embeddings, u_ids)[:, None, :]
         mlp_u = self._vectors(batch, self.MLP_U_ROWS_KEY,
                               self.mlp_u_embeddings, u_ids)[:, None, :]
-        mf_i = self._vectors(batch, self.MF_I_ROWS_KEY,
-                             self.mf_i_embeddings, i_ids)
-        mlp_i = self._vectors(batch, self.MLP_I_ROWS_KEY,
-                              self.mlp_i_embeddings, i_ids)
+        mf_i = self._vectors(
+            batch, self.MF_I_ROWS_KEY,
+            "mf_i_q" if self.quantized_table else self.mf_i_embeddings, i_ids)
+        mlp_i = self._vectors(
+            batch, self.MLP_I_ROWS_KEY,
+            "mlp_i_q" if self.quantized_table else self.mlp_i_embeddings,
+            i_ids)
 
         mf_vector = mf_u * mf_i  # [B, N, E]
         mlp_vector = jnp.concatenate(
@@ -105,7 +129,7 @@ class NCF(RecModel):
     def sharded_table_specs(self, batch: Batch):
         u_ids = self.uid_column.get_feature_data(batch)
         i_ids = self.iid_column.get_feature_data(batch)
-        return {
+        specs = {
             "mf_u": {"path": "mf_u_embeddings/embedding", "ids": u_ids,
                      "rows_key": self.MF_U_ROWS_KEY},
             "mlp_u": {"path": "mlp_u_embeddings/embedding", "ids": u_ids,
@@ -114,4 +138,25 @@ class NCF(RecModel):
                      "rows_key": self.MF_I_ROWS_KEY},
             "mlp_i": {"path": "mlp_i_embeddings/embedding", "ids": i_ids,
                       "rows_key": self.MLP_I_ROWS_KEY},
+        }
+        if self.quantized_table:
+            qblock = {"emb_size": self.emb_size, "bits": self.table_bits,
+                      "col_groups": self.scale_col_groups}
+            specs["mf_i"]["path"] = "mf_i_q"
+            specs["mf_i"]["quantized"] = dict(qblock)
+            specs["mlp_i"]["path"] = "mlp_i_q"
+            specs["mlp_i"]["quantized"] = dict(qblock)
+        return specs
+
+    def quantized_table_spec(self, batch: Batch):
+        """Quantized-trainer protocol (training/quantized_trainer.py)."""
+        assert self.quantized_table
+        i_ids = jnp.asarray(self.iid_column.get_feature_data(batch))
+        common = {"scale": None, "ids": i_ids, "bits": self.table_bits,
+                  "col_groups": self.scale_col_groups, "packed": True,
+                  "emb_size": self.emb_size}
+        return {
+            "mf_i": {"q": "mf_i_q", "rows_key": self.MF_I_ROWS_KEY, **common},
+            "mlp_i": {"q": "mlp_i_q", "rows_key": self.MLP_I_ROWS_KEY,
+                      **common},
         }

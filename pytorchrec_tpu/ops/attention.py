@@ -125,6 +125,14 @@ class DINAttentionPool(nn.Module):
             from pytorchrec_tpu.ops.kernels import use_pallas_default
 
             use_pallas = use_pallas_default()
+            # auto mode engages the kernel only at train-shaped candidate
+            # counts (where its fused pooling was measured to win, -14%);
+            # wide eval blocks ([B, 100 cand, S] leave-1-out scoring) blow
+            # the kernel's compile memory (the axon compile helper gets
+            # OOM-killed at that shape — found on-chip, round 4) and have
+            # no measured win. Explicit use_pallas=True is honored.
+            if target_vector.shape[1] > 16:
+                use_pallas = False
         if use_pallas:
             from pytorchrec_tpu.ops.kernels.din_attention import (
                 din_attention_pool_pallas,

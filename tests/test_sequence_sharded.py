@@ -401,3 +401,82 @@ def test_seq_quantized_table_single_vs_sharded_one_step(model_cls_name):
     for _ in range(12):
         last = float(qt._train_step(b))
     assert last < lq - 0.01, (lq, last)
+
+
+@pytest.mark.parametrize("model_cls_name", ["ncf", "svdpp"])
+def test_factorization_quantized_table_one_step_parity(model_cls_name):
+    """NCF (both GMF+MLP item tables) and SVD++ (item + implicit tables)
+    as int8 packed byte rows — one-step bit-parity, single-device
+    QuantizedEmbeddingTrainer vs the sharded engine (completes the
+    model-family x quantized-format matrix)."""
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    from pytorchrec_tpu.feature_column import (
+        CategoricalColumnWithIdentity as col,
+    )
+    from pytorchrec_tpu.models.ncf import NCF
+    from pytorchrec_tpu.models.svdpp import SVDPP
+    from pytorchrec_tpu.ops.quantized_packed import unpack_quantized_table
+    from pytorchrec_tpu.training import ShardedSparseEmbeddingTrainer
+    from pytorchrec_tpu.training.quantized_trainer import (
+        QuantizedEmbeddingTrainer,
+    )
+
+    B, VI, VU, H, E = 64, 256, 50, 4, 8
+    rr = np.random.default_rng(6)
+    if model_cls_name == "ncf":
+        def mk():
+            return NCF(uid_column=col(feature_name="uid", category_num=VU),
+                       iid_column=col(feature_name="iid", category_num=VI),
+                       label_column=col(feature_name="label", category_num=2),
+                       emb_size=E, layers=(8,), dropout=0.0,
+                       quantized_table=True, table_row_multiple=8)
+
+        b = {"uid": rr.integers(0, VU, size=B).astype(np.int32),
+             "iid": rr.integers(0, VI, size=B).astype(np.int32),
+             "label": rr.integers(0, 2, size=B).astype(np.int32)}
+        q_paths = ["mf_i_q", "mlp_i_q"]
+    else:
+        def mk():
+            return SVDPP(uid_column=col(feature_name="uid", category_num=VU),
+                         iid_column=col(feature_name="iid", category_num=VI),
+                         iids_column=col(feature_name="iids",
+                                         category_num=VI),
+                         label_column=col(feature_name="label",
+                                          category_num=2),
+                         emb_size=E, quantized_table=True,
+                         table_row_multiple=8)
+
+        b = {"uid": rr.integers(0, VU, size=B).astype(np.int32),
+             "iid": rr.integers(0, VI, size=B).astype(np.int32),
+             "iids": rr.integers(1, VI, size=(B, H)).astype(np.int32),
+             "label": rr.integers(0, 2, size=B).astype(np.int32)}
+        q_paths = ["i_q", "implicit_i_q"]
+
+    qt = QuantizedEmbeddingTrainer(mk(), packed_tables=True)
+    qt.compile(optimizer="adam", lr=1e-2, loss="bce", metrics=("auc",))
+    qt.init_state(b, seed=0)
+    lq = float(qt._train_step(b))
+
+    st = ShardedSparseEmbeddingTrainer(
+        mk(), mesh=make_mesh(data=4, model=2), strategy="1d",
+        packed_tables=True)
+    st.compile(optimizer="adam", lr=1e-2, loss="bce", metrics=("auc",))
+    st.init_state(b, seed=0)
+    ls = float(st._train_step(b))
+
+    assert abs(lq - ls) < 1e-5, (lq, ls)
+    fq = traverse_util.flatten_dict(jax.device_get(qt.state.params), sep="/")
+    fs = traverse_util.flatten_dict(jax.device_get(st.merged_params()),
+                                    sep="/")
+    for path in q_paths:
+        q1, s1, _ = unpack_quantized_table(jnp.asarray(fq[path]), E)
+        q2, s2, _ = unpack_quantized_table(jnp.asarray(fs[path]), E)
+        np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-7)
+
+    # and it learns on the fixed batch
+    for _ in range(15):
+        last = float(qt._train_step(b))
+    assert last < lq - 0.01, (lq, last)
