@@ -102,7 +102,11 @@ class QuantizedEmbeddingTrainer(Trainer):
                 # scale + the rowwise accumulator live INSIDE the packed
                 # byte rows; keep a zero-size accumulator so the state tree
                 # structure is stable for donation/checkpointing
-                acc[name] = jnp.zeros((0,), jnp.float32)
+                # one-element placeholder (NOT zero-size: orbax refuses to
+                # serialize empty arrays, which made packed quantized state
+                # un-checkpointable — found by the round-4 roundtrip test);
+                # the packed path never reads it (acc rides in the rows)
+                acc[name] = jnp.zeros((1,), jnp.float32)
                 self._packed_specs[name] = dict(
                     emb=table["emb_size"], bits=table.get("bits", 8),
                     col_groups=table.get("col_groups", 1),

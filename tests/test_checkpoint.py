@@ -158,3 +158,58 @@ def test_preemption_guard_saves_and_resumes(dataset_dir, tmp_path):
                  callbacks=[guard2])
     assert int(trainer2.state.step) > saved_step
     assert not guard2.preempted
+
+
+def test_quantized_packed_state_roundtrip(tmp_path):
+    """uint8 packed byte-row table leaves (q||scale||acc) survive the orbax
+    save/restore cycle bit-exactly — quantized production state is
+    crash-resumable like f32 state (round 4)."""
+    from flax import traverse_util
+
+    from pytorchrec_tpu.feature_column import (
+        CategoricalColumnWithIdentity as col,
+    )
+    from pytorchrec_tpu.models.din import DIN
+    from pytorchrec_tpu.training.quantized_trainer import (
+        QuantizedEmbeddingTrainer,
+    )
+
+    B, VI, S = 32, 128, 4
+    model = DIN(uid_column=col(feature_name="uid", category_num=40),
+                iid_column=col(feature_name="iid", category_num=VI),
+                his_column=col(feature_name="pos_his", category_num=VI),
+                his_len_column=col(feature_name="pos_his_len",
+                                   category_num=S + 1),
+                label_column=col(feature_name="label", category_num=2),
+                emb_size=8, att_hidden_units=(8,), mlp_layers=(8,),
+                quantized_table=True)
+    rr = np.random.default_rng(11)
+    b = {"uid": rr.integers(0, 40, size=B).astype(np.int32),
+         "iid": rr.integers(0, VI, size=B).astype(np.int32),
+         "pos_his": rr.integers(1, VI, size=(B, S)).astype(np.int32),
+         "pos_his_len": rr.integers(1, S + 1, size=B).astype(np.int32),
+         "label": rr.integers(0, 2, size=B).astype(np.int32)}
+    t = QuantizedEmbeddingTrainer(model, packed_tables=True)
+    t.compile(optimizer="adam", lr=1e-2, loss="bce", metrics=("auc",))
+    t.init_state(b, seed=0)
+    for _ in range(3):
+        t._train_step(b)
+
+    ckpt = CheckpointManager(str(tmp_path / "qckpt"))
+    ckpt.save(int(t.state.step), t.state)
+    ckpt.wait()
+
+    t2 = QuantizedEmbeddingTrainer(model, packed_tables=True)
+    t2.compile(optimizer="adam", lr=1e-2, loss="bce", metrics=("auc",))
+    t2.init_state(b, seed=5)
+    restored = ckpt.restore(t2.state)
+    fa = traverse_util.flatten_dict(jax.device_get(t.state.params), sep="/")
+    fb = traverse_util.flatten_dict(jax.device_get(restored.params), sep="/")
+    assert fb["i_q"].dtype == np.uint8
+    np.testing.assert_array_equal(fa["i_q"], fb["i_q"])
+    ckpt.close()
+
+    # and training continues from the restored uint8 state
+    t2.state = restored
+    loss = float(t2._train_step(b))
+    assert np.isfinite(loss)

@@ -458,7 +458,7 @@ def test_packed_quantized_dcn_trains(dataset_dir, bits):
     assert packed.dtype == jnp.uint8
     assert packed.shape[1] == packed_q_width(8, bits, 1)
     assert "unified_scale" not in t.state.params  # lives inside the rows
-    assert t.state.table_acc["unified"].shape == (0,)
+    assert t.state.table_acc["unified"].shape == (1,)  # orbax-saveable placeholder
 
     logs = t.evaluate(reader, split="test", batch_size=32)
     assert np.isfinite(logs["ndcg@5"])
