@@ -63,6 +63,11 @@ class DQNQNet(QNet):
     hidden_size: int = 64
     # round the item table's rows so they divide a mesh 'model' axis
     table_row_multiple: int = 1
+    # item table as int8/int4 packed byte rows (same contracts as DIN);
+    # the target net's in-module reads dequantize on the fly
+    quantized_table: bool = False
+    table_bits: int = 8
+    scale_col_groups: int = 1
 
     # sparse/sharded injection for the EVAL net's forward gathers only
     # (candidates + state history, one flattened block [B*N | B*S]); the
@@ -72,16 +77,36 @@ class DQNQNet(QNet):
 
     def setup(self):
         m = self.table_row_multiple
-        self.i_embedding = Embedding(
-            -(-self.iid_column.category_num // m) * m, self.emb_size)
+        rows = -(-self.iid_column.category_num // m) * m
+        if self.quantized_table:
+            from pytorchrec_tpu.ops.quantized_packed import packed_table_init
+
+            self.i_q = self.param(
+                "i_q",
+                packed_table_init(self.emb_size, self.table_bits,
+                                  self.scale_col_groups),
+                (rows,))
+        else:
+            self.i_embedding = Embedding(rows, self.emb_size)
         self.rnn = MaskedGRU(hidden_size=self.hidden_size)
         self.out = nn.Dense(self.emb_size, kernel_init=normal_init, bias_init=normal_init)
+
+    def _item_vec(self, ids):
+        if self.quantized_table:
+            from pytorchrec_tpu.ops.quantized_packed import (
+                packed_gather_dequant,
+            )
+
+            return packed_gather_dequant(self.i_q, ids, self.emb_size,
+                                         self.table_bits,
+                                         self.scale_col_groups)
+        return self.i_embedding(ids)
 
     def _encode_vectors(self, state_vectors, state_len):
         return self.out(self.rnn(state_vectors, state_len))  # [B, E]
 
     def _encode(self, state_ids, state_len):
-        return self._encode_vectors(self.i_embedding(state_ids), state_len)
+        return self._encode_vectors(self._item_vec(state_ids), state_len)
 
     def forward(self, batch: Batch, train: bool = False) -> jnp.ndarray:
         i_ids = self.iid_column.get_feature_data(batch)  # [B] or [B, N]
@@ -96,8 +121,8 @@ class DQNQNet(QNet):
             i_vectors = r[:n_cand].reshape(*i2.shape, self.emb_size)
             state_vectors = r[n_cand:].reshape(*state_ids.shape, self.emb_size)
         else:
-            i_vectors = self.i_embedding(i2)
-            state_vectors = self.i_embedding(state_ids)
+            i_vectors = self._item_vec(i2)
+            state_vectors = self._item_vec(state_ids)
         rnn_vector = self._encode_vectors(state_vectors, state_len)
         q = jnp.sum(rnn_vector[:, None, :] * i_vectors, axis=-1)  # [B, N]
         return q[:, 0] if squeeze else q
@@ -115,18 +140,23 @@ class DQNQNet(QNet):
         return {"i_embedding/embedding": self._forward_gather_ids(batch)}
 
     def sharded_table_specs(self, batch: Batch):
-        return {
-            "i": {"path": "i_embedding/embedding",
-                  "ids": self._forward_gather_ids(batch),
-                  "rows_key": self.I_ROWS_KEY},
-        }
+        i_spec = {"ids": self._forward_gather_ids(batch),
+                  "rows_key": self.I_ROWS_KEY}
+        if self.quantized_table:
+            i_spec["path"] = "i_q"
+            i_spec["quantized"] = {"emb_size": self.emb_size,
+                                   "bits": self.table_bits,
+                                   "col_groups": self.scale_col_groups}
+        else:
+            i_spec["path"] = "i_embedding/embedding"
+        return {"i": i_spec}
 
     def next_forward(self, batch: Batch, train: bool = False) -> jnp.ndarray:
         next_i_ids = self.rl_sample_column.get_feature_data(batch)  # [B, N]
         next_state_ids = self.next_state_column.get_feature_data(batch)
         next_state_len = self.next_state_len_column.get_feature_data(batch)
         rnn_vector = self._encode(next_state_ids, next_state_len)
-        next_i_vectors = self.i_embedding(next_i_ids)
+        next_i_vectors = self._item_vec(next_i_ids)
         return jnp.sum(rnn_vector[:, None, :] * next_i_vectors, axis=-1)  # [B, N]
 
 
@@ -157,6 +187,10 @@ class BranchQNet(QNet):
     dropout: float = 0.2
     # round table rows so they divide a mesh 'model' axis
     table_row_multiple: int = 1
+    # item table as int8/int4 packed byte rows (same contracts as DIN)
+    quantized_table: bool = False
+    table_bits: int = 8
+    scale_col_groups: int = 1
 
     # sparse/sharded injection for the EVAL net's forward gathers only
     # (candidates + active-branch state histories in one flattened block
@@ -167,8 +201,17 @@ class BranchQNet(QNet):
 
     def setup(self):
         m = self.table_row_multiple
-        self.i_embeddings = Embedding(
-            -(-self.iid_column.category_num // m) * m, self.emb_size)
+        ni = -(-self.iid_column.category_num // m) * m
+        if self.quantized_table:
+            from pytorchrec_tpu.ops.quantized_packed import packed_table_init
+
+            self.i_q = self.param(
+                "i_q",
+                packed_table_init(self.emb_size, self.table_bits,
+                                  self.scale_col_groups),
+                (ni,))
+        else:
+            self.i_embeddings = Embedding(ni, self.emb_size)
         n_branches = 0
         if self.use_long:
             assert self.uid_column is not None
@@ -187,6 +230,17 @@ class BranchQNet(QNet):
         assert n_branches > 0, "at least one branch required"
         self.fuse = Dense(self.emb_size, activation="relu", dropout=self.dropout)
         self.prediction = nn.Dense(1, use_bias=False, kernel_init=normal_init)
+
+    def _item_vec(self, ids):
+        if self.quantized_table:
+            from pytorchrec_tpu.ops.quantized_packed import (
+                packed_gather_dequant,
+            )
+
+            return packed_gather_dequant(self.i_q, ids, self.emb_size,
+                                         self.table_bits,
+                                         self.scale_col_groups)
+        return self.i_embeddings(ids)
 
     def _score(self, batch: Batch, i_ids, pos_cols, neg_cols, train: bool,
                use_rows: bool = False) -> jnp.ndarray:
@@ -212,11 +266,11 @@ class BranchQNet(QNet):
                 neg_vectors = r[off:off + n].reshape(*neg_ids.shape,
                                                      self.emb_size)
         else:
-            i_vectors = self.i_embeddings(i_ids)  # [B, N, E]
+            i_vectors = self._item_vec(i_ids)  # [B, N, E]
             if self.use_pos:
-                pos_vectors = self.i_embeddings(pos_ids)
+                pos_vectors = self._item_vec(pos_ids)
             if self.use_neg:
-                neg_vectors = self.i_embeddings(neg_ids)
+                neg_vectors = self._item_vec(neg_ids)
 
         branches = []
         if self.use_long:
@@ -274,11 +328,16 @@ class BranchQNet(QNet):
         return ids
 
     def sharded_table_specs(self, batch: Batch):
-        specs = {
-            "i": {"path": "i_embeddings/embedding",
-                  "ids": self._forward_gather_ids(batch),
-                  "rows_key": self.I_ROWS_KEY},
-        }
+        i_spec = {"ids": self._forward_gather_ids(batch),
+                  "rows_key": self.I_ROWS_KEY}
+        if self.quantized_table:
+            i_spec["path"] = "i_q"
+            i_spec["quantized"] = {"emb_size": self.emb_size,
+                                   "bits": self.table_bits,
+                                   "col_groups": self.scale_col_groups}
+        else:
+            i_spec["path"] = "i_embeddings/embedding"
+        specs = {"i": i_spec}
         if self.use_long:
             specs["u"] = {"path": "u_embeddings/embedding",
                           "ids": self.uid_column.get_feature_data(batch),

@@ -261,27 +261,34 @@ class SparseRLTrainer(RLTrainer):
             {"params": init_rng, "dropout": init_rng}, sample_batch)
         params = variables["params"]
         flat = traverse_util.flatten_dict(params, sep="/")
-        declared = {
-            spec["path"]
-            for spec in self.model.sharded_table_specs(sample_batch).values()
-        }
+        specs0 = self.model.sharded_table_specs(sample_batch)
+        declared = {spec["path"] for spec in specs0.values()}
         table_paths = declared & set(flat)
         self._table_paths = table_paths
+        # quantized packed byte-row leaves (DIN-style "quantized" spec
+        # block): acc rides inside the rows, update via
+        # packed_quantized_update with id-keyed rounding — no moments tree
+        self._q_info = {
+            spec["path"]: dict(spec["quantized"])
+            for spec in specs0.values()
+            if spec.get("quantized") and spec["path"] in flat
+        }
 
         self._dense_tx = optax.masked(
             self.tx,
             traverse_util.unflatten_dict(
                 {k: k not in table_paths for k in flat}, sep="/"))
 
+        f32_paths = table_paths - set(self._q_info)
         if self.table_optimizer == "adam":
             moments = {p: {"m": jnp.zeros_like(flat[p]),
-                           "v": jnp.zeros_like(flat[p])} for p in table_paths}
+                           "v": jnp.zeros_like(flat[p])} for p in f32_paths}
         elif self.table_optimizer == "rowwise_adagrad":
             moments = {p: {"acc": jnp.zeros(flat[p].shape[0], jnp.float32)}
-                       for p in table_paths}
+                       for p in f32_paths}
         else:
             moments = {p: {"acc": jnp.zeros_like(flat[p])}
-                       for p in table_paths}
+                       for p in f32_paths}
         return SparseRLTrainState(
             params=params,
             opt_state=self._dense_tx.init(params),
@@ -292,6 +299,11 @@ class SparseRLTrainer(RLTrainer):
         )
 
     def _build_train_step(self):
+        from pytorchrec_tpu.ops.kernels.quantize import table_rounding_salt
+        from pytorchrec_tpu.ops.quantized_packed import (
+            dequant_packed_rows,
+            packed_quantized_update,
+        )
         from pytorchrec_tpu.ops.sparse_update import (
             sparse_adagrad,
             sparse_lazy_adam,
@@ -301,6 +313,7 @@ class SparseRLTrainer(RLTrainer):
         model, loss_fn = self.model, self.loss_fn
         dense_tx = self._dense_tx
         table_paths = self._table_paths
+        q_info = dict(self._q_info)
         table_optimizer, table_lr = self.table_optimizer, self._table_lr
         update_freq = model.update_freq
 
@@ -316,9 +329,16 @@ class SparseRLTrainer(RLTrainer):
                 path: jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
                 for path, spec in specs.items()
             }
-            rows_in = {
+            raw_rows = {
                 path: jax.lax.stop_gradient(flat_params[path])[ids]
                 for path, ids in ids_map.items()
+            }
+            rows_in = {
+                path: (dequant_packed_rows(raw, q_info[path]["emb_size"],
+                                           q_info[path]["bits"],
+                                           q_info[path]["col_groups"])
+                       if path in q_info else raw)
+                for path, raw in raw_rows.items()
             }
 
             def compute_loss(params, rows):
@@ -331,20 +351,30 @@ class SparseRLTrainer(RLTrainer):
                 )
                 return loss_fn(prediction, target)
 
+            # allow_int: quantized uint8 leaves sit in params (their grads
+            # are float0 and the masked dense optimizer skips them)
             loss, (dense_grads, row_grads) = jax.value_and_grad(
-                compute_loss, argnums=(0, 1)
+                compute_loss, argnums=(0, 1), allow_int=True
             )(state.params, rows_in)
 
             updates, opt_state = dense_tx.update(
                 dense_grads, state.opt_state, state.params)
             params = jax.tree_util.tree_map(
-                lambda p, u: p + u, state.params, updates)
+                lambda p, u: p if u.dtype == jax.dtypes.float0 else p + u,
+                state.params, updates)
 
             step = state.step + 1
             flat = dict(traverse_util.flatten_dict(params, sep="/"))
             moments = dict(state.table_moments)
             for path, ids in ids_map.items():
-                if table_optimizer == "adam":
+                if path in q_info:
+                    info = q_info[path]
+                    salt = table_rounding_salt(state.rng, step, path)
+                    flat[path] = packed_quantized_update(
+                        flat[path], raw_rows[path], ids, row_grads[path],
+                        None, table_lr, bits=info["bits"],
+                        col_groups=info["col_groups"], rng_salt=salt)
+                elif table_optimizer == "adam":
                     table, m, v = sparse_lazy_adam(
                         flat[path], moments[path]["m"], moments[path]["v"],
                         ids, row_grads[path], step, lr=table_lr)

@@ -480,3 +480,40 @@ def test_factorization_quantized_table_one_step_parity(model_cls_name):
     for _ in range(15):
         last = float(qt._train_step(b))
     assert last < lq - 0.01, (lq, last)
+
+
+@pytest.mark.parametrize("model_name", ["dqn", "lsrl"])
+def test_rl_quantized_table_trains(dataset_dir, model_name):
+    """RL zoo x quantized format (completes the matrix): the QNets' item
+    tables as int8 packed byte rows, trained by SparseRLTrainer
+    (packed_quantized_update with id-keyed rounding; target net
+    dequantizes its in-module reads)."""
+    from pytorchrec_tpu.training import SparseRLTrainer
+
+    reader = _reader(model_name)
+    model = build_model(model_name, reader, quantized_table=True,
+                        **SEQ_HPARAMS[model_name])
+    t = SparseRLTrainer(model)
+    t.compile(optimizer="adam", lr=1e-2, loss="mse",
+              metrics=("ndcg@5",), user_sample_n=10)
+    batch = _train_batch(reader)
+    t.init_state(batch, seed=0)
+
+    flat0 = traverse_util.flatten_dict(jax.device_get(t.state.params),
+                                       sep="/")
+    q_keys = [k for k in flat0 if k.endswith("i_q")]
+    assert q_keys and all(flat0[k].dtype == np.uint8 for k in q_keys)
+
+    losses = []
+    for _ in range(10):
+        out = t._train_step(batch)
+        losses.append(float(out[1] if isinstance(out, tuple) else out))
+    assert losses[-1] < losses[0], losses
+    flat1 = traverse_util.flatten_dict(jax.device_get(t.state.params),
+                                       sep="/")
+    for k in q_keys:
+        assert (np.asarray(flat0[k]) != np.asarray(flat1[k])).any(), k
+    # target net syncs the byte leaf verbatim at update_freq boundaries
+    tflat = traverse_util.flatten_dict(
+        jax.device_get(t.state.target_params), sep="/")
+    assert all(tflat[k].dtype == np.uint8 for k in q_keys)
