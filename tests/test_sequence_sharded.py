@@ -517,3 +517,52 @@ def test_rl_quantized_table_trains(dataset_dir, model_name):
     tflat = traverse_util.flatten_dict(
         jax.device_get(t.state.target_params), sep="/")
     assert all(tflat[k].dtype == np.uint8 for k in q_keys)
+
+
+def test_funksvd_quantized_table_one_step_parity():
+    """FunkSVD item table as int8 packed byte rows — one-step bit-parity
+    single-device vs sharded + fixed-batch learning (the simplest-family
+    corner of the quantized matrix)."""
+    import jax.numpy as jnp
+
+    from pytorchrec_tpu.feature_column import (
+        CategoricalColumnWithIdentity as col,
+    )
+    from pytorchrec_tpu.models import FunkSVD
+    from pytorchrec_tpu.ops.quantized_packed import unpack_quantized_table
+    from pytorchrec_tpu.training import ShardedSparseEmbeddingTrainer
+    from pytorchrec_tpu.training.quantized_trainer import (
+        QuantizedEmbeddingTrainer,
+    )
+
+    r = np.random.default_rng(8)
+    b = {"uid": r.integers(0, 40, size=64).astype(np.int32),
+         "iid": r.integers(0, 120, size=64).astype(np.int32),
+         "label": r.integers(0, 2, size=64).astype(np.int32)}
+
+    def mk():
+        return FunkSVD(uid_column=col(feature_name="uid", category_num=40),
+                       iid_column=col(feature_name="iid", category_num=120),
+                       label_column=col(feature_name="label", category_num=2),
+                       emb_size=8, quantized_table=True, table_row_multiple=8)
+
+    qt = QuantizedEmbeddingTrainer(mk(), packed_tables=True)
+    qt.compile(optimizer="adam", lr=1e-2, loss="bce", metrics=())
+    qt.init_state(b, seed=0)
+    lq = float(qt._train_step(b))
+    st = ShardedSparseEmbeddingTrainer(
+        mk(), mesh=make_mesh(data=4, model=2), strategy="1d",
+        packed_tables=True)
+    st.compile(optimizer="adam", lr=1e-2, loss="bce", metrics=())
+    st.init_state(b, seed=0)
+    ls = float(st._train_step(b))
+    assert abs(lq - ls) < 1e-5, (lq, ls)
+    from flax import traverse_util as tu
+    fq = tu.flatten_dict(jax.device_get(qt.state.params), sep="/")["i_q"]
+    fs = tu.flatten_dict(jax.device_get(st.merged_params()), sep="/")["i_q"]
+    q1, _, _ = unpack_quantized_table(jnp.asarray(fq), 8)
+    q2, _, _ = unpack_quantized_table(jnp.asarray(fs), 8)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    for _ in range(15):
+        last = float(qt._train_step(b))
+    assert last < lq - 0.01, (lq, last)
