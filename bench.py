@@ -301,12 +301,15 @@ def _load_cache(src: str) -> dict:
 # three irreducible fast-width row passes, measured in isolation —
 # RESULTS.md step decomposition + width-rule tables):
 #   f32-packed  [852k, 64] f32 rows: 11.6 (fwd gather) + 11.6 (update
-#               permute) + 13.7 (scatter-set) = 36.9 ms
-#   int8-packed [852k, 128] u8 rows:  8.6 + 8.6 + 3.7 = 20.9 ms
+#               permute) + 13.7 (scatter-set) = 36.9 ms (isolated probes)
+#   int8-packed [852k, 128] u8 rows: 7.5 (gather) + 1.5 (permute) + 9.4
+#               (scatter) = 18.4 ms — from the IN-STEP jax.profiler
+#               attribution (scripts/int8_step_profile.py); isolated u8
+#               probes are misleading both ways (RESULTS.md)
 # (The int8 floor is LOWER — byte rows move fewer bytes once vectorized —
 # so its pct-of-floor is not comparable to f32's; each config reports
 # against its own layout's floor.)
-ROW_LATENCY_FLOOR_MS = {"f32-packed": 36.9, "int8-packed": 20.9}
+ROW_LATENCY_FLOOR_MS = {"f32-packed": 36.9, "int8-packed": 18.4}
 
 CONFIGS = ("int8-packed", "f32-packed")  # fastest first = headline
 
