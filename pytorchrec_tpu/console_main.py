@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="metric to monitor (default: first of --metrics)")
     parser.add_argument("--monitor_mode", default="max", choices=("max", "min"))
     parser.add_argument("--verbose", type=int, default=1)
+    parser.add_argument("--trainer", default="auto",
+                        choices=("auto", "dense", "sparse", "quantized"),
+                        help="trainer routing (auto picks the quantized "
+                             "trainer for quantized-table models)")
     parser.add_argument("--repeat_num", type=int, default=5,
                         help="repeat task only")
     parser.add_argument("--reader", action="append", metavar="K=V",
@@ -123,6 +127,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         monitor=args.monitor,
         monitor_mode=args.monitor_mode,
         verbose=args.verbose,
+        trainer=args.trainer,
     )
 
     if args.task_name == "repeat":

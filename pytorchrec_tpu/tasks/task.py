@@ -82,6 +82,12 @@ class Task(ITask):
                                 default_value=1, lower_closed_bound=1),
             ArgumentDescription("patience", int, "early-stop patience",
                                 default_value=10, lower_closed_bound=0),
+            ArgumentDescription("trainer", str,
+                                "trainer routing (auto picks the quantized "
+                                "trainer for quantized-table models)",
+                                default_value="auto",
+                                legal_value_list=["auto", "dense", "sparse",
+                                                  "quantized"]),
         ]
 
     @classmethod
@@ -119,6 +125,7 @@ class Task(ITask):
         patience: int = 10,
         verbose: int = 1,
         mesh=None,
+        trainer: str = "auto",
     ):
         self.debug = debug
         self.random_seed = random_seed
@@ -142,8 +149,38 @@ class Task(ITask):
         self.verbose = verbose
         self.mesh = mesh
 
-        trainer_cls = RLTrainer if isinstance(model, ValueRLModel) else Trainer
-        self.trainer = trainer_cls(model, mesh=mesh)
+        # trainer routing: "auto" keeps the classic dense trainers for f32
+        # models but routes models with quantized byte-row tables to the
+        # trainers that can update them (a dense Trainer would hit
+        # non-differentiable uint8 leaves); "sparse" opts any model with
+        # sparse_table_ids into row-sparse lazy updates; "dense" forces the
+        # classic path.
+        assert trainer in ("auto", "dense", "sparse", "quantized"), trainer
+        inner = getattr(model, "qnet", model)  # RL wrapper holds the net
+        quantized = bool(getattr(inner, "quantized_table", False)
+                         or getattr(inner, "quantized_embedding", False))
+        if isinstance(model, ValueRLModel):
+            from pytorchrec_tpu.training import SparseRLTrainer
+
+            use_sparse = (trainer in ("sparse", "quantized")
+                          or (trainer == "auto" and quantized))
+            trainer_cls = SparseRLTrainer if use_sparse else RLTrainer
+            self.trainer = trainer_cls(model, mesh=mesh)
+        elif trainer == "quantized" or (trainer == "auto" and quantized):
+            from pytorchrec_tpu.training.quantized_trainer import (
+                QuantizedEmbeddingTrainer,
+            )
+
+            packed = bool(getattr(model, "table_packed", True))
+            self.trainer = QuantizedEmbeddingTrainer(
+                model, mesh=mesh, packed_tables=packed)
+        elif trainer == "sparse":
+            from pytorchrec_tpu.training import SparseEmbeddingTrainer
+
+            self.trainer = SparseEmbeddingTrainer(model, mesh=mesh,
+                                                  packed_tables=True)
+        else:
+            self.trainer = Trainer(model, mesh=mesh)
 
     @classmethod
     def from_config(cls, model_name: str, dataset: str,

@@ -240,3 +240,40 @@ def test_cli_repeat_task(dataset_dir):
 
     tsvs = glob.glob(os.path.join(C.repeat_task_dir(), "*repeat*"))
     assert tsvs
+
+
+def test_trainer_auto_routing(dataset_dir):
+    """Task routes quantized-table models to the trainers that can update
+    uint8 byte-row leaves (a dense Trainer would crash on them), both for
+    plain models and the RL wrapper; f32 models keep the classic trainers;
+    explicit 'sparse' opts in row-sparse updates."""
+    from pytorchrec_tpu.tasks import Task
+    from pytorchrec_tpu.training import (
+        RLTrainer,
+        SparseEmbeddingTrainer,
+        SparseRLTrainer,
+        Trainer,
+    )
+    from pytorchrec_tpu.training.quantized_trainer import (
+        QuantizedEmbeddingTrainer,
+    )
+
+    def mk(model_name, **mk_kwargs):
+        kwargs = {"reader_kwargs": {"neg_sample_n": 9},
+                  "model_kwargs": mk_kwargs, "epoch": 1, "verbose": 0}
+        if model_name == "dqn":
+            kwargs["reader_kwargs"].update(max_state_len=5, rl_sample_len=4)
+            kwargs["loss"] = "mse"
+        return Task.from_config(model_name, DATASET, **kwargs)
+
+    assert type(mk("funksvd").trainer) is Trainer
+    assert type(mk("funksvd", quantized_table=True).trainer) \
+        is QuantizedEmbeddingTrainer
+    assert type(mk("dqn").trainer) is RLTrainer
+    assert type(mk("dqn", quantized_table=True).trainer) is SparseRLTrainer
+
+    t = Task.from_config("funksvd", DATASET,
+                         reader_kwargs={"neg_sample_n": 9},
+                         model_kwargs={}, epoch=1, verbose=0,
+                         trainer="sparse")
+    assert type(t.trainer) is SparseEmbeddingTrainer
