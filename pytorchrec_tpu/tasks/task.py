@@ -126,6 +126,7 @@ class Task(ITask):
         verbose: int = 1,
         mesh=None,
         trainer: str = "auto",
+        trainer_kwargs=None,
     ):
         self.debug = debug
         self.random_seed = random_seed
@@ -156,6 +157,7 @@ class Task(ITask):
         # sparse_table_ids into row-sparse lazy updates; "dense" forces the
         # classic path.
         assert trainer in ("auto", "dense", "sparse", "quantized"), trainer
+        tkw = dict(trainer_kwargs or {})  # e.g. {"table_lr": 0.02}
         inner = getattr(model, "qnet", model)  # RL wrapper holds the net
         quantized = bool(getattr(inner, "quantized_table", False)
                          or getattr(inner, "quantized_embedding", False))
@@ -165,20 +167,21 @@ class Task(ITask):
             use_sparse = (trainer in ("sparse", "quantized")
                           or (trainer == "auto" and quantized))
             trainer_cls = SparseRLTrainer if use_sparse else RLTrainer
-            self.trainer = trainer_cls(model, mesh=mesh)
+            self.trainer = trainer_cls(model, mesh=mesh,
+                                       **(tkw if use_sparse else {}))
         elif trainer == "quantized" or (trainer == "auto" and quantized):
             from pytorchrec_tpu.training.quantized_trainer import (
                 QuantizedEmbeddingTrainer,
             )
 
             packed = bool(getattr(model, "table_packed", True))
-            self.trainer = QuantizedEmbeddingTrainer(
-                model, mesh=mesh, packed_tables=packed)
+            tkw.setdefault("packed_tables", packed)
+            self.trainer = QuantizedEmbeddingTrainer(model, mesh=mesh, **tkw)
         elif trainer == "sparse":
             from pytorchrec_tpu.training import SparseEmbeddingTrainer
 
-            self.trainer = SparseEmbeddingTrainer(model, mesh=mesh,
-                                                  packed_tables=True)
+            tkw.setdefault("packed_tables", True)
+            self.trainer = SparseEmbeddingTrainer(model, mesh=mesh, **tkw)
         else:
             self.trainer = Trainer(model, mesh=mesh)
 

@@ -59,12 +59,13 @@ def _unflatten(flat):
 
 class QuantizedEmbeddingTrainer(Trainer):
     def __init__(self, model, mesh=None, table_eps: float = 1e-6,
-                 packed_tables: bool = False):
+                 packed_tables: bool = False, table_lr: float = None):
         assert hasattr(model, "quantized_table_spec"), (
             f"{type(model).__name__} does not implement quantized_table_spec()"
         )
         super().__init__(model, mesh=mesh)
         self.table_eps = table_eps
+        self._table_lr_override = table_lr
         # packed BYTE rows (ops/quantized_packed.py): q||scale||acc||staging
         # in one [V, W>=64] uint8 leaf — the vectorized row emitter engages
         # on COLUMN count, so 64+ byte columns run ~40x faster per pass than
@@ -77,7 +78,9 @@ class QuantizedEmbeddingTrainer(Trainer):
 
     def compile(self, *args, lr: float = 1e-3, **kwargs):
         super().compile(*args, lr=lr, **kwargs)
-        self._table_lr = lr
+        # rowwise-Adagrad tables often need a higher lr than the dense adam
+        # (DIN: 4x recovers f32-adam quality — RESULTS.md round 4)
+        self._table_lr = self._table_lr_override or lr
 
     def _make_state(self, sample_batch, seed) -> QuantizedTrainState:
         root = jax.random.PRNGKey(seed)

@@ -241,16 +241,17 @@ class SparseRLTrainer(RLTrainer):
     """
 
     def __init__(self, model: ValueRLModel, mesh=None,
-                 table_optimizer: str = "adam"):
+                 table_optimizer: str = "adam", table_lr: float = None):
         assert hasattr(model, "sparse_table_ids"), type(model).__name__
         assert table_optimizer in ("adam", "adagrad", "rowwise_adagrad")
         super().__init__(model, mesh=mesh)
         self.table_optimizer = table_optimizer
         self._table_lr = None
+        self._table_lr_override = table_lr
 
     def compile(self, *args, lr: float = 1e-3, **kwargs):
         super().compile(*args, lr=lr, **kwargs)
-        self._table_lr = lr
+        self._table_lr = self._table_lr_override or lr
 
     def _make_state(self, sample_batch, seed) -> SparseRLTrainState:
         import optax

@@ -78,12 +78,13 @@ class SparseEmbeddingTrainer(Trainer):
     def __init__(self, model, mesh=None, table_optimizer: str = "adam",
                  rows_injection: bool = None, packed_tables: bool = False,
                  packed_min_width: int = 64, packed_bytes: bool = False,
-                 packed_dtype=None):
+                 packed_dtype=None, table_lr: float = None):
         assert hasattr(model, "sparse_table_ids"), (
             f"{type(model).__name__} does not implement sparse_table_ids()"
         )
         assert table_optimizer in ("adam", "adagrad",
                                    "rowwise_adagrad"), table_optimizer
+        self._table_lr_override = table_lr
         super().__init__(model, mesh=mesh)
         self.table_optimizer = table_optimizer
         # rows injection (via the model's sharded_table_specs protocol) feeds
@@ -156,7 +157,10 @@ class SparseEmbeddingTrainer(Trainer):
 
     def compile(self, *args, lr: float = 1e-3, **kwargs):
         super().compile(*args, lr=lr, **kwargs)
-        self._table_lr = lr
+        # the lazy table optimizers often want their OWN lr (measured: DIN
+        # on rowwise-Adagrad needs ~4x adam's lr to reach f32-adam quality
+        # — RESULTS.md round-4 quantized-quality section)
+        self._table_lr = self._table_lr_override or lr
 
     def _declared_table_paths(self, sample_batch):
         return set(self.model.sparse_table_ids(sample_batch).keys())
