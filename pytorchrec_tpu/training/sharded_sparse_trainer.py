@@ -107,7 +107,7 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                  exchange_capacity: float | int | None = None,
                  packed_tables: bool = False, packed_min_width: int = 64,
                  two_hop: bool = False, packed_dtype=None,
-                 qgrad_exchange: bool = False):
+                 qgrad_exchange: bool = False, table_lr: float = None):
         assert mesh is not None, "ShardedSparseEmbeddingTrainer requires a mesh"
         assert strategy in ("1d", "grid", "hot_cold"), strategy
         # qgrad_exchange: int8-compress the row-grad payload on the backward
@@ -170,7 +170,7 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         super().__init__(model, mesh=mesh, table_optimizer=table_optimizer,
                          packed_tables=packed_tables,
                          packed_min_width=packed_min_width,
-                         packed_dtype=packed_dtype)
+                         packed_dtype=packed_dtype, table_lr=table_lr)
 
     # ------------------------------------------------------------------
     # state layout
