@@ -74,6 +74,10 @@ class DQNQNet(QNet):
     # target net's next_forward gathers stay in-module — its reads are
     # under stop_gradient, so no rows need routing back (VERDICT r3 #2)
     I_ROWS_KEY = "__rows__dqn_i"
+    # TARGET-net injection (sharded RL trainer): next_forward's gathers
+    # ([B*N next candidates | B*S next state]) hoisted the same way, read
+    # from the TARGET table shards
+    N_ROWS_KEY = "__rows__dqn_i_next"
 
     def setup(self):
         m = self.table_row_multiple
@@ -155,9 +159,33 @@ class DQNQNet(QNet):
         next_i_ids = self.rl_sample_column.get_feature_data(batch)  # [B, N]
         next_state_ids = self.next_state_column.get_feature_data(batch)
         next_state_len = self.next_state_len_column.get_feature_data(batch)
-        rnn_vector = self._encode(next_state_ids, next_state_len)
-        next_i_vectors = self._item_vec(next_i_ids)
+        rows = batch.get(self.N_ROWS_KEY)
+        if rows is not None:
+            r = jnp.reshape(rows, (-1, self.emb_size))
+            n_cand = next_i_ids.shape[0] * next_i_ids.shape[1]
+            next_i_vectors = r[:n_cand].reshape(*next_i_ids.shape,
+                                                self.emb_size)
+            state_vectors = r[n_cand:].reshape(*next_state_ids.shape,
+                                               self.emb_size)
+            rnn_vector = self._encode_vectors(state_vectors, next_state_len)
+        else:
+            rnn_vector = self._encode(next_state_ids, next_state_len)
+            next_i_vectors = self._item_vec(next_i_ids)
         return jnp.sum(rnn_vector[:, None, :] * next_i_vectors, axis=-1)  # [B, N]
+
+    def _next_gather_ids(self, batch: Batch) -> jnp.ndarray:
+        next_i = jnp.asarray(self.rl_sample_column.get_feature_data(batch))
+        next_s = jnp.asarray(self.next_state_column.get_feature_data(batch))
+        return jnp.concatenate([next_i.reshape(-1), next_s.reshape(-1)])
+
+    def sharded_target_specs(self, batch: Batch):
+        """TARGET-net twin of sharded_table_specs: same table paths, the
+        NEXT-step gather ids, distinct injection keys — the sharded RL
+        trainer looks these up from the TARGET shards (read-only)."""
+        spec = dict(self.sharded_table_specs(batch)["i"])
+        spec["ids"] = self._next_gather_ids(batch)
+        spec["rows_key"] = self.N_ROWS_KEY
+        return {"i": spec}
 
 
 class BranchQNet(QNet):
@@ -198,6 +226,9 @@ class BranchQNet(QNet):
     # in-module (stop_gradient reads)
     I_ROWS_KEY = "__rows__branchq_i"
     U_ROWS_KEY = "__rows__branchq_u"
+    # TARGET-net injection keys (next-step gathers from the target shards)
+    N_I_ROWS_KEY = "__rows__branchq_i_next"
+    N_U_ROWS_KEY = "__rows__branchq_u_next"
 
     def setup(self):
         m = self.table_row_multiple
@@ -243,14 +274,14 @@ class BranchQNet(QNet):
         return self.i_embeddings(ids)
 
     def _score(self, batch: Batch, i_ids, pos_cols, neg_cols, train: bool,
-               use_rows: bool = False) -> jnp.ndarray:
+               rows_key=None, u_rows_key=None) -> jnp.ndarray:
         squeeze = i_ids.ndim == 1
         if squeeze:
             i_ids = i_ids[:, None]
 
         pos_ids = pos_cols[0].get_feature_data(batch) if self.use_pos else None
         neg_ids = neg_cols[0].get_feature_data(batch) if self.use_neg else None
-        i_rows = batch.get(self.I_ROWS_KEY) if use_rows else None
+        i_rows = batch.get(rows_key) if rows_key else None
         if i_rows is not None:
             # one injected block, split in _forward_gather_ids order
             r = jnp.reshape(i_rows, (-1, self.emb_size))
@@ -275,7 +306,7 @@ class BranchQNet(QNet):
         branches = []
         if self.use_long:
             u_ids = self.uid_column.get_feature_data(batch)  # [B]
-            u_rows = batch.get(self.U_ROWS_KEY) if use_rows else None
+            u_rows = batch.get(u_rows_key) if u_rows_key else None
             u_vec = (jnp.reshape(u_rows, (*u_ids.shape, self.emb_size))
                      if u_rows is not None else self.u_embeddings(u_ids))
             u_vectors = jnp.broadcast_to(u_vec[:, None, :], i_vectors.shape)
@@ -304,7 +335,8 @@ class BranchQNet(QNet):
             batch, i_ids,
             pos_cols=(self.pos_state_column, self.pos_state_len_column),
             neg_cols=(self.neg_state_column, self.neg_state_len_column),
-            train=train, use_rows=True,
+            train=train, rows_key=self.I_ROWS_KEY,
+            u_rows_key=self.U_ROWS_KEY,
         )
 
     def _forward_gather_ids(self, batch: Batch) -> jnp.ndarray:
@@ -350,8 +382,38 @@ class BranchQNet(QNet):
             batch, next_i_ids,
             pos_cols=(self.pos_next_state_column, self.pos_next_state_len_column),
             neg_cols=(self.neg_next_state_column, self.neg_next_state_len_column),
-            train=train,
+            train=train, rows_key=self.N_I_ROWS_KEY,
+            u_rows_key=self.N_U_ROWS_KEY,
         )
+
+    def _next_gather_ids(self, batch: Batch) -> jnp.ndarray:
+        next_i = jnp.asarray(self.rl_sample_column.get_feature_data(batch))
+        if next_i.ndim == 1:
+            next_i = next_i[:, None]
+        parts = [next_i.reshape(-1)]
+        if self.use_pos:
+            parts.append(jnp.asarray(
+                self.pos_next_state_column.get_feature_data(batch)
+            ).reshape(-1))
+        if self.use_neg:
+            parts.append(jnp.asarray(
+                self.neg_next_state_column.get_feature_data(batch)
+            ).reshape(-1))
+        return jnp.concatenate(parts)
+
+    def sharded_target_specs(self, batch: Batch):
+        """TARGET-net twin of sharded_table_specs (next-step gathers)."""
+        specs = {}
+        base = self.sharded_table_specs(batch)
+        i_spec = dict(base["i"])
+        i_spec["ids"] = self._next_gather_ids(batch)
+        i_spec["rows_key"] = self.N_I_ROWS_KEY
+        specs["i"] = i_spec
+        if self.use_long:
+            u_spec = dict(base["u"])
+            u_spec["rows_key"] = self.N_U_ROWS_KEY  # same uid gather
+            specs["u"] = u_spec
+        return specs
 
 
 class ValueRLModel:
@@ -394,6 +456,9 @@ class ValueRLModel:
 
     def sharded_table_specs(self, batch: Batch):
         return self.qnet.sharded_table_specs(batch)
+
+    def sharded_target_specs(self, batch: Batch):
+        return self.qnet.sharded_target_specs(batch)
 
     @staticmethod
     def load_pretrain_embedding(params, weight_file: str,

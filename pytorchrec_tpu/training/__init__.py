@@ -13,7 +13,11 @@ from pytorchrec_tpu.training.checkpoint import (
     CheckpointManager,
     PreemptionGuard,
 )
-from pytorchrec_tpu.training.rl_trainer import RLTrainer, SparseRLTrainer
+from pytorchrec_tpu.training.rl_trainer import (
+    RLTrainer,
+    ShardedSparseRLTrainer,
+    SparseRLTrainer,
+)
 from pytorchrec_tpu.training.sharded_sparse_trainer import ShardedSparseEmbeddingTrainer
 from pytorchrec_tpu.training.sparse_trainer import SparseEmbeddingTrainer
 from pytorchrec_tpu.training.state import RLTrainState, TrainState
@@ -31,6 +35,7 @@ __all__ = [
     "Trainer",
     "RLTrainer",
     "SparseRLTrainer",
+    "ShardedSparseRLTrainer",
     "SparseEmbeddingTrainer",
     "ShardedSparseEmbeddingTrainer",
     "CheckpointManager",

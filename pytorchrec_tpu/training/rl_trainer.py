@@ -403,3 +403,256 @@ class SparseRLTrainer(RLTrainer):
             return new_state, loss
 
         return train_step  # pure; jitted by _get_train_step_fn / scan fusion
+
+
+class ShardedSparseRLTrainer(SparseRLTrainer):
+    """RL through the EXPLICIT all-to-all embedding engine (round 4 — the
+    last family on the engine): the QNets' item tables row-shard over the
+    mesh's ``model`` axis and BOTH networks' gathers ride one exchange
+    each per step:
+
+    * EVAL net: ``sharded_table_specs`` ids -> ``all_to_all_lookup`` over
+      the eval shards, rows injected through the forward keys; the exact
+      per-occurrence row grads route back with ``all_to_all_rowgrad`` and
+      update owner shards with the lazy optimizers (replicated-update
+      discipline over ``data``, like ShardedSparseEmbeddingTrainer's 1-d
+      strategy);
+    * TARGET net: ``sharded_target_specs`` (next-step candidate + state
+      ids) -> one read-only lookup over the TARGET shards, injected
+      through the target keys — nothing routes back (stop_gradient,
+      reference DQN.py:97-100); the periodic sync copies shard to shard.
+
+    Scope: strategy = 1-d row sharding, f32 tables (the quantized RL
+    format runs single-chip via SparseRLTrainer). Dropout folds the data
+    shard index into the stream (distinct per replica, like the embedding
+    trainer)."""
+
+    def __init__(self, model: ValueRLModel, mesh=None,
+                 table_optimizer: str = "adam", table_lr: float = None,
+                 exchange_capacity=None):
+        from pytorchrec_tpu.parallel import MODEL_AXIS
+
+        assert mesh is not None, "ShardedSparseRLTrainer requires a mesh"
+        assert mesh.shape.get(MODEL_AXIS, 1) > 1, (
+            f"mesh needs a model axis > 1, got {dict(mesh.shape)} "
+            "(use SparseRLTrainer for single-shard tables)")
+        assert hasattr(model, "sharded_target_specs"), type(model).__name__
+        super().__init__(model, mesh=mesh, table_optimizer=table_optimizer,
+                         table_lr=table_lr)
+        self.exchange_capacity = exchange_capacity
+
+    def _make_state(self, sample_batch, seed):
+        from pytorchrec_tpu.parallel import MODEL_AXIS
+
+        state = super()._make_state(sample_batch, seed)
+        assert not self._q_info, (
+            "quantized tables are not supported on the sharded RL trainer "
+            "yet — train them single-chip via SparseRLTrainer")
+        m = self.mesh.shape[MODEL_AXIS]
+        flat = traverse_util.flatten_dict(state.params, sep="/")
+        for path in self._table_paths:
+            assert flat[path].shape[0] % m == 0, (
+                f"{path}: {flat[path].shape[0]} rows do not divide the "
+                f"model axis ({m}) — set table_row_multiple on the model")
+        return state
+
+    def _compute_state_shardings(self, sample_batch, seed):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from pytorchrec_tpu.parallel import MODEL_AXIS
+
+        shape_tree = jax.eval_shape(lambda: self._make_state(sample_batch,
+                                                             seed))
+        table_paths = self._table_paths
+
+        def pspec(path, leaf):
+            joined = "/".join(str(getattr(k, "key", k)) for k in path)
+            # table leaves appear under params/, target_params/ and
+            # table_moments/ — all row-shard over the model axis
+            if any(tp in joined for tp in table_paths):
+                ndim = getattr(leaf, "ndim", 1)
+                return PartitionSpec(MODEL_AXIS, *([None] * (ndim - 1)))
+            return PartitionSpec()
+
+        self._state_pspecs = jax.tree_util.tree_map_with_path(pspec,
+                                                              shape_tree)
+        return jax.tree_util.tree_map(
+            lambda sp: NamedSharding(self.mesh, sp), self._state_pspecs)
+
+    def _build_train_step(self):
+        from jax.sharding import PartitionSpec
+
+        from pytorchrec_tpu.ops.sparse_update import (
+            dedup_row_grads,
+            sparse_adagrad,
+            sparse_lazy_adam,
+            sparse_rowwise_adagrad,
+        )
+        from pytorchrec_tpu.parallel import DATA_AXIS, MODEL_AXIS
+        from pytorchrec_tpu.parallel.embedding_engine import (
+            all_to_all_lookup,
+            all_to_all_rowgrad,
+        )
+
+        model, loss_fn = self.model, self.loss_fn
+        dense_tx = self._dense_tx
+        table_paths = self._table_paths
+        table_optimizer, table_lr = self.table_optimizer, self._table_lr
+        update_freq = model.update_freq
+        mesh, cap = self.mesh, self.exchange_capacity
+        inv_data = 1.0 / mesh.shape[DATA_AXIS]
+        _flat = lambda t: traverse_util.flatten_dict(t, sep="/")
+        _unflat = lambda f: traverse_util.unflatten_dict(f, sep="/")
+
+        def step_body(state, batch):
+            didx = jax.lax.axis_index(DATA_AXIS)
+            step_rng = jax.random.fold_in(
+                jax.random.fold_in(state.rng, state.step), didx)
+            flat_p = _flat(state.params)
+            flat_t = _flat(state.target_params)
+            specs = {
+                spec["path"]: spec
+                for spec in model.sharded_table_specs(batch).values()
+                if spec["path"] in table_paths
+            }
+            tspecs = {
+                spec["path"]: spec
+                for spec in model.sharded_target_specs(batch).values()
+                if spec["path"] in table_paths
+            }
+            ids_map, rows_in, trows_in = {}, {}, {}
+            for path, spec in specs.items():
+                ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+                ids_map[path] = ids
+                rows_in[path] = all_to_all_lookup(
+                    jax.lax.stop_gradient(flat_p[path]), ids, MODEL_AXIS,
+                    capacity=cap)
+            for path, spec in tspecs.items():
+                tids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+                trows_in[path] = all_to_all_lookup(
+                    jax.lax.stop_gradient(flat_t[path]), tids, MODEL_AXIS,
+                    capacity=cap)
+
+            dense_flat = {k: v for k, v in flat_p.items()
+                          if k not in table_paths}
+
+            def compute_loss(dense_params, rows):
+                full = dict(flat_p)
+                full.update(dense_params)
+                patched = dict(batch)
+                for path, spec in specs.items():
+                    patched[spec["rows_key"]] = rows[path]
+                for path, spec in tspecs.items():
+                    patched[spec["rows_key"]] = trows_in[path]
+                prediction, target = model.apply(
+                    {"params": _unflat(full)},
+                    {"params": state.target_params},
+                    patched, train=True, rngs={"dropout": step_rng},
+                )
+                return loss_fn(prediction, target)
+
+            loss, (dense_grads_flat, row_grads) = jax.value_and_grad(
+                compute_loss, argnums=(0, 1)
+            )(dense_flat, rows_in)
+
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            dense_grads_flat = jax.lax.pmean(dense_grads_flat, DATA_AXIS)
+            dense_grads = _unflat({
+                **dense_grads_flat,
+                **{k: jnp.zeros_like(flat_p[k]) for k in table_paths},
+            })
+            updates, opt_state = dense_tx.update(
+                dense_grads, state.opt_state, state.params)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+
+            step = state.step + 1
+            flat = dict(_flat(params))
+            moments = dict(state.table_moments)
+            for path, ids in ids_map.items():
+                shard = flat[path]
+                rows_per_shard = shard.shape[0]
+                g_occ = row_grads[path] * inv_data
+                r_ids, r_rows = all_to_all_rowgrad(
+                    ids, g_occ, rows_per_shard, MODEL_AXIS, capacity=cap)
+                # dedup before the data gather; replicated-update
+                # discipline over data (every replica applies the same
+                # update to its copy of the row shard)
+                g = dedup_row_grads(r_ids, r_rows)
+                all_ids = jax.lax.all_gather(g.ids, DATA_AXIS, tiled=True)
+                all_rows = jax.lax.all_gather(g.rows, DATA_AXIS, tiled=True)
+                offset = jax.lax.axis_index(MODEL_AXIS) * rows_per_shard
+                local_ids = (all_ids - offset).astype(jnp.int32)
+                if table_optimizer == "adam":
+                    table, m, v = sparse_lazy_adam(
+                        shard, moments[path]["m"], moments[path]["v"],
+                        local_ids, all_rows, step, lr=table_lr)
+                    flat[path] = table
+                    moments[path] = {"m": m, "v": v}
+                else:
+                    upd = (sparse_rowwise_adagrad
+                           if table_optimizer == "rowwise_adagrad"
+                           else sparse_adagrad)
+                    table, acc = upd(shard, moments[path]["acc"], local_ids,
+                                     all_rows, lr=table_lr)
+                    flat[path] = table
+                    moments[path] = {"acc": acc}
+            params = _unflat(flat)
+
+            target_params = jax.lax.cond(
+                step % update_freq == 0,
+                lambda: params,
+                lambda: state.target_params,
+            )
+            new_state = state.replace(
+                params=params, opt_state=opt_state, step=step,
+                target_params=target_params, table_moments=moments,
+            )
+            return new_state, loss
+
+        return jax.shard_map(
+            step_body,
+            mesh=mesh,
+            in_specs=(self._state_pspecs, PartitionSpec(DATA_AXIS)),
+            out_specs=(self._state_pspecs, PartitionSpec()),
+            check_vma=False,
+        )
+
+    def _jit_train_step(self, train_step):
+        return jax.jit(self._with_precision(train_step), donate_argnums=0)
+
+    def _build_eval_step(self):
+        from jax.sharding import PartitionSpec
+
+        from pytorchrec_tpu.parallel import DATA_AXIS, MODEL_AXIS
+        from pytorchrec_tpu.parallel.embedding_engine import all_to_all_lookup
+
+        model = self.model
+        table_paths = self._table_paths
+        mesh, cap = self.mesh, self.exchange_capacity
+        _flat = lambda t: traverse_util.flatten_dict(t, sep="/")
+
+        def eval_body(params, batch):
+            flat_p = _flat(params)
+            patched = dict(batch)
+            for spec in model.sharded_table_specs(batch).values():
+                if spec["path"] not in table_paths:
+                    continue
+                ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+                patched[spec["rows_key"]] = all_to_all_lookup(
+                    flat_p[spec["path"]], ids, MODEL_AXIS, capacity=cap)
+            prediction = model.apply_eval({"params": params}, patched)
+            from pytorchrec_tpu.models.base import one_hot_first_target
+
+            target = (one_hot_first_target(prediction)
+                      if prediction.ndim == 2 else None)
+            return prediction, target
+
+        step = jax.shard_map(
+            eval_body,
+            mesh=mesh,
+            in_specs=(self._state_pspecs.params, PartitionSpec(DATA_AXIS)),
+            out_specs=PartitionSpec(DATA_AXIS),
+            check_vma=False,
+        )
+        return jax.jit(step)

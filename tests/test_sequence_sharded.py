@@ -566,3 +566,80 @@ def test_funksvd_quantized_table_one_step_parity():
     for _ in range(15):
         last = float(qt._train_step(b))
     assert last < lq - 0.01, (lq, last)
+
+
+@pytest.mark.parametrize("model_name", ["dqn", "lsrl"])
+def test_rl_next_forward_injection_equivalence(dataset_dir, model_name):
+    """sharded_target_specs rows injected into next_forward == in-module
+    target-net gathers, bit for bit; forward ignores the target keys."""
+    reader = _reader(model_name)
+    model = build_model(model_name, reader, **SEQ_HPARAMS[model_name])
+    batch = _train_batch(reader)
+    variables = model.qnet.init(jax.random.PRNGKey(0), batch)
+    qnet = model.qnet
+    base = qnet.apply(variables, batch, method=qnet.next_forward)
+    flat = traverse_util.flatten_dict(variables["params"], sep="/")
+    patched = dict(batch)
+    for spec in model.sharded_target_specs(batch).values():
+        ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+        patched[spec["rows_key"]] = flat[spec["path"]][ids]
+    inj = qnet.apply(variables, patched, method=qnet.next_forward)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(inj))
+    fb = qnet.apply(variables, batch, method=qnet.forward)
+    fp = qnet.apply(variables, patched, method=qnet.forward)
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fp))
+
+
+@pytest.mark.parametrize("model_name", ["dqn", "lsrl"])
+def test_sharded_rl_trainer_matches_single_device(dataset_dir, model_name):
+    """RL through the EXPLICIT engine (round 4, the last family): 5 steps
+    of ShardedSparseRLTrainer on the (data=4, model=2) mesh match the
+    single-device SparseRLTrainer to float reassociation — eval-net
+    lookups + row-grad exchange + target-net lookups + periodic sync all
+    inside one shard_map."""
+    from pytorchrec_tpu.training import (
+        ShardedSparseRLTrainer,
+        SparseRLTrainer,
+    )
+
+    reader = _reader(model_name)
+    batch = _train_batch(reader)
+
+    def mk():
+        # parity needs deterministic nets (the sharded step folds the data
+        # shard index into the dropout stream, like the sequence tests)
+        extra = {"dropout": 0.0} if model_name == "lsrl" else {}
+        return build_model(model_name, reader, table_row_multiple=8,
+                           **SEQ_HPARAMS[model_name], **extra)
+
+    def run(cls, **kw):
+        t = cls(mk(), **kw)
+        t.compile(optimizer="adam", lr=1e-2, loss="mse",
+                  metrics=("ndcg@5",), user_sample_n=10)
+        t.init_state(batch, seed=0)
+        for _ in range(5):
+            out = t._train_step(batch)
+            loss = float(out[1] if isinstance(out, tuple) else out)
+        return t, loss
+
+    single, ls = run(SparseRLTrainer)
+    sharded, lm = run(ShardedSparseRLTrainer,
+                      mesh=make_mesh(data=4, model=2))
+    assert ls == pytest.approx(lm, abs=1e-4)
+    fa = traverse_util.flatten_dict(jax.device_get(single.state.params),
+                                    sep="/")
+    fb = traverse_util.flatten_dict(jax.device_get(sharded.state.params),
+                                    sep="/")
+    for k in fa:
+        np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
+                                   rtol=2e-4, atol=2e-6, err_msg=k)
+    ta = traverse_util.flatten_dict(
+        jax.device_get(single.state.target_params), sep="/")
+    tb = traverse_util.flatten_dict(
+        jax.device_get(sharded.state.target_params), sep="/")
+    for k in ta:
+        np.testing.assert_allclose(np.asarray(ta[k]), np.asarray(tb[k]),
+                                   rtol=2e-4, atol=2e-6, err_msg=k)
+    # eval path: candidates score through the engine lookup
+    pred, _ = sharded._eval_step(batch)
+    assert np.isfinite(np.asarray(pred)).all()
