@@ -422,10 +422,12 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
       through the target keys — nothing routes back (stop_gradient,
       reference DQN.py:97-100); the periodic sync copies shard to shard.
 
-    Scope: strategy = 1-d row sharding, f32 tables (the quantized RL
-    format runs single-chip via SparseRLTrainer). Dropout folds the data
-    shard index into the stream (distinct per replica, like the embedding
-    trainer)."""
+    Scope: strategy = 1-d row sharding; f32 AND quantized int8/int4
+    byte-row tables (``quantized_table=True`` QNets — the lookup return
+    hops ship q||scale bytes for BOTH networks, the owner shard updates
+    via packed_quantized_update with id-keyed rounding). Dropout folds
+    the data shard index into the stream (distinct per replica, like the
+    embedding trainer)."""
 
     def __init__(self, model: ValueRLModel, mesh=None,
                  table_optimizer: str = "adam", table_lr: float = None,
@@ -445,11 +447,13 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
         from pytorchrec_tpu.parallel import MODEL_AXIS
 
         state = super()._make_state(sample_batch, seed)
-        assert not self._q_info, (
-            "quantized tables are not supported on the sharded RL trainer "
-            "yet — train them single-chip via SparseRLTrainer")
         m = self.mesh.shape[MODEL_AXIS]
         flat = traverse_util.flatten_dict(state.params, sep="/")
+        # eagerly-declared quantized params: flax validates their shape
+        # inside shard_map where the leaf is a SHARD — record full shapes
+        # so the step can substitute DCE'd dummies (rows are injected)
+        self._q_full_shapes = {path: tuple(flat[path].shape)
+                               for path in self._q_info}
         for path in self._table_paths:
             assert flat[path].shape[0] % m == 0, (
                 f"{path}: {flat[path].shape[0]} rows do not divide the "
@@ -494,15 +498,47 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
             all_to_all_rowgrad,
         )
 
+        from pytorchrec_tpu.ops.kernels.quantize import table_rounding_salt
+        from pytorchrec_tpu.ops.quantized_packed import (
+            dequant_packed_rows,
+            packed_quantized_update,
+            q_row_bytes,
+        )
+
         model, loss_fn = self.model, self.loss_fn
         dense_tx = self._dense_tx
         table_paths = self._table_paths
+        q_info = dict(self._q_info)
         table_optimizer, table_lr = self.table_optimizer, self._table_lr
         update_freq = model.update_freq
         mesh, cap = self.mesh, self.exchange_capacity
+        q_full_shapes = dict(getattr(self, "_q_full_shapes", {}))
         inv_data = 1.0 / mesh.shape[DATA_AXIS]
         _flat = lambda t: traverse_util.flatten_dict(t, sep="/")
         _unflat = lambda f: traverse_util.unflatten_dict(f, sep="/")
+
+        def _with_q_dummies(flat_tree):
+            # full-shape dummies for eagerly-declared quantized leaves
+            # (never gathered: rows are injected; DCE'd by XLA)
+            out = dict(flat_tree)
+            for qp, shp in q_full_shapes.items():
+                out[qp] = jnp.zeros(shp, flat_tree[qp].dtype)
+            return out
+
+        def _out_cols(path):
+            # quantized leaves ship only q||scale on the wire
+            if path in q_info:
+                i = q_info[path]
+                return (q_row_bytes(i["emb_size"], i["bits"])
+                        + 4 * i["col_groups"])
+            return None
+
+        def _model_rows(path, raw):
+            if path in q_info:
+                i = q_info[path]
+                return dequant_packed_rows(raw, i["emb_size"], i["bits"],
+                                           i["col_groups"])
+            return raw
 
         def step_body(state, batch):
             didx = jax.lax.axis_index(DATA_AXIS)
@@ -524,21 +560,22 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
             for path, spec in specs.items():
                 ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
                 ids_map[path] = ids
-                rows_in[path] = all_to_all_lookup(
+                rows_in[path] = _model_rows(path, all_to_all_lookup(
                     jax.lax.stop_gradient(flat_p[path]), ids, MODEL_AXIS,
-                    capacity=cap)
+                    capacity=cap, out_cols=_out_cols(path)))
             for path, spec in tspecs.items():
                 tids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
-                trows_in[path] = all_to_all_lookup(
+                trows_in[path] = _model_rows(path, all_to_all_lookup(
                     jax.lax.stop_gradient(flat_t[path]), tids, MODEL_AXIS,
-                    capacity=cap)
+                    capacity=cap, out_cols=_out_cols(path)))
 
             dense_flat = {k: v for k, v in flat_p.items()
                           if k not in table_paths}
 
             def compute_loss(dense_params, rows):
-                full = dict(flat_p)
+                full = _with_q_dummies(flat_p)
                 full.update(dense_params)
+                target_full = _with_q_dummies(flat_t)
                 patched = dict(batch)
                 for path, spec in specs.items():
                     patched[spec["rows_key"]] = rows[path]
@@ -546,7 +583,7 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
                     patched[spec["rows_key"]] = trows_in[path]
                 prediction, target = model.apply(
                     {"params": _unflat(full)},
-                    {"params": state.target_params},
+                    {"params": _unflat(target_full)},
                     patched, train=True, rngs={"dropout": step_rng},
                 )
                 return loss_fn(prediction, target)
@@ -583,7 +620,16 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
                 all_rows = jax.lax.all_gather(g.rows, DATA_AXIS, tiled=True)
                 offset = jax.lax.axis_index(MODEL_AXIS) * rows_per_shard
                 local_ids = (all_ids - offset).astype(jnp.int32)
-                if table_optimizer == "adam":
+                if path in q_info:
+                    qi = q_info[path]
+                    salt = table_rounding_salt(state.rng, step, path)
+                    rows_now = jax.lax.stop_gradient(shard)[local_ids]
+                    flat[path] = packed_quantized_update(
+                        shard, rows_now, local_ids, all_rows, None,
+                        table_lr, bits=qi["bits"],
+                        col_groups=qi["col_groups"], rng_salt=salt,
+                        ids_offset=offset)
+                elif table_optimizer == "adam":
                     table, m, v = sparse_lazy_adam(
                         shard, moments[path]["m"], moments[path]["v"],
                         local_ids, all_rows, step, lr=table_lr)
@@ -627,21 +673,43 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
         from pytorchrec_tpu.parallel import DATA_AXIS, MODEL_AXIS
         from pytorchrec_tpu.parallel.embedding_engine import all_to_all_lookup
 
+        from pytorchrec_tpu.ops.quantized_packed import (
+            dequant_packed_rows,
+            q_row_bytes,
+        )
+
         model = self.model
         table_paths = self._table_paths
+        q_info = dict(self._q_info)
+        q_full_shapes = dict(getattr(self, "_q_full_shapes", {}))
         mesh, cap = self.mesh, self.exchange_capacity
         _flat = lambda t: traverse_util.flatten_dict(t, sep="/")
+        _unflat = lambda f: traverse_util.unflatten_dict(f, sep="/")
 
         def eval_body(params, batch):
             flat_p = _flat(params)
             patched = dict(batch)
             for spec in model.sharded_table_specs(batch).values():
-                if spec["path"] not in table_paths:
+                path = spec["path"]
+                if path not in table_paths:
                     continue
                 ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
-                patched[spec["rows_key"]] = all_to_all_lookup(
-                    flat_p[spec["path"]], ids, MODEL_AXIS, capacity=cap)
-            prediction = model.apply_eval({"params": params}, patched)
+                oc = None
+                if path in q_info:
+                    i = q_info[path]
+                    oc = (q_row_bytes(i["emb_size"], i["bits"])
+                          + 4 * i["col_groups"])
+                raw = all_to_all_lookup(flat_p[path], ids, MODEL_AXIS,
+                                        capacity=cap, out_cols=oc)
+                if path in q_info:
+                    i = q_info[path]
+                    raw = dequant_packed_rows(raw, i["emb_size"], i["bits"],
+                                              i["col_groups"])
+                patched[spec["rows_key"]] = raw
+            full = dict(flat_p)
+            for qp, shp in q_full_shapes.items():
+                full[qp] = jnp.zeros(shp, flat_p[qp].dtype)
+            prediction = model.apply_eval({"params": _unflat(full)}, patched)
             from pytorchrec_tpu.models.base import one_hot_first_target
 
             target = (one_hot_first_target(prediction)

@@ -643,3 +643,48 @@ def test_sharded_rl_trainer_matches_single_device(dataset_dir, model_name):
     # eval path: candidates score through the engine lookup
     pred, _ = sharded._eval_step(batch)
     assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_sharded_rl_quantized_table_bit_parity(dataset_dir):
+    """RL x quantized x the ENGINE (the final matrix corner): DQN's int8
+    byte-row item table through ShardedSparseRLTrainer — both networks'
+    lookups ship q||scale bytes, the owner shard requantizes with
+    id-keyed rounding, and the table is BIT-equal to the single-device
+    SparseRLTrainer after 3 steps."""
+    from pytorchrec_tpu.ops.quantized_packed import unpack_quantized_table
+    from pytorchrec_tpu.training import (
+        ShardedSparseRLTrainer,
+        SparseRLTrainer,
+    )
+
+    reader = _reader("dqn")
+    batch = _train_batch(reader)
+
+    def mk():
+        return build_model("dqn", reader, table_row_multiple=8,
+                           quantized_table=True, **SEQ_HPARAMS["dqn"])
+
+    def run(cls, **kw):
+        t = cls(mk(), **kw)
+        t.compile(optimizer="adam", lr=1e-2, loss="mse",
+                  metrics=("ndcg@5",), user_sample_n=10)
+        t.init_state(batch, seed=0)
+        for _ in range(3):
+            out = t._train_step(batch)
+            loss = float(out[1] if isinstance(out, tuple) else out)
+        return t, loss
+
+    single, ls = run(SparseRLTrainer)
+    sharded, lm = run(ShardedSparseRLTrainer,
+                      mesh=make_mesh(data=4, model=2))
+    assert ls == pytest.approx(lm, abs=1e-4)
+    fa = traverse_util.flatten_dict(jax.device_get(single.state.params),
+                                    sep="/")["i_q"]
+    fb = traverse_util.flatten_dict(jax.device_get(sharded.state.params),
+                                    sep="/")["i_q"]
+    q1, s1, _ = unpack_quantized_table(jnp.asarray(fa), 8)
+    q2, s2, _ = unpack_quantized_table(jnp.asarray(fb), 8)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=2e-7)
+    pred, _ = sharded._eval_step(batch)
+    assert np.isfinite(np.asarray(pred)).all()
