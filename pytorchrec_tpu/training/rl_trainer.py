@@ -241,13 +241,26 @@ class SparseRLTrainer(RLTrainer):
     """
 
     def __init__(self, model: ValueRLModel, mesh=None,
-                 table_optimizer: str = "adam", table_lr: float = None):
+                 table_optimizer: str = "adam", table_lr: float = None,
+                 packed_tables: bool = False, packed_min_width: int = 64):
         assert hasattr(model, "sparse_table_ids"), type(model).__name__
         assert table_optimizer in ("adam", "adagrad", "rowwise_adagrad")
         super().__init__(model, mesh=mesh)
         self.table_optimizer = table_optimizer
         self._table_lr = None
         self._table_lr_override = table_lr
+        # packed fast-width rows (table||moments||grad-staging in one
+        # [V, W] leaf): the change that took DIN's sparse path from -2.2x
+        # to +1.79x vs dense Adam (scripts/din_sparse_ab.py). BOTH
+        # networks' gathers must then be injected (a packed leaf cannot be
+        # gathered in-module), so this path uses sharded_target_specs for
+        # the target net too.
+        self.packed_tables = packed_tables
+        self.packed_min_width = packed_min_width
+        if packed_tables:
+            assert hasattr(model, "sharded_target_specs"), (
+                type(model).__name__)
+        self._table_emb_dims = {}
 
     def compile(self, *args, lr: float = 1e-3, **kwargs):
         super().compile(*args, lr=lr, **kwargs)
@@ -281,6 +294,28 @@ class SparseRLTrainer(RLTrainer):
                 {k: k not in table_paths for k in flat}, sep="/"))
 
         f32_paths = table_paths - set(self._q_info)
+        if self.packed_tables:
+            from pytorchrec_tpu.ops.sparse_update import pack_table
+
+            assert not self._q_info, (
+                "packed_tables composes with f32 RL tables (quantized "
+                "leaves are already packed byte rows)")
+            flat2 = dict(flat)
+            self._table_emb_dims = {}
+            for path in f32_paths:
+                self._table_emb_dims[path] = flat[path].shape[1]
+                flat2[path] = pack_table(flat[path], self.table_optimizer,
+                                         self.packed_min_width)
+            params = traverse_util.unflatten_dict(flat2, sep="/")
+            moments = {p: {} for p in f32_paths}  # ride inside the rows
+            return SparseRLTrainState(
+                params=params,
+                opt_state=self._dense_tx.init(params),
+                step=jnp.zeros((), jnp.int32),
+                rng=state_rng,
+                target_params=jax.tree_util.tree_map(jnp.copy, params),
+                table_moments=moments,
+            )
         if self.table_optimizer == "adam":
             moments = {p: {"m": jnp.zeros_like(flat[p]),
                            "v": jnp.zeros_like(flat[p])} for p in f32_paths}
@@ -317,6 +352,8 @@ class SparseRLTrainer(RLTrainer):
         q_info = dict(self._q_info)
         table_optimizer, table_lr = self.table_optimizer, self._table_lr
         update_freq = model.update_freq
+        if self.packed_tables:
+            return self._build_packed_train_step()
 
         def train_step(state: SparseRLTrainState, batch):
             step_rng = jax.random.fold_in(state.rng, state.step)
@@ -403,6 +440,125 @@ class SparseRLTrainer(RLTrainer):
             return new_state, loss
 
         return train_step  # pure; jitted by _get_train_step_fn / scan fusion
+
+
+    def _build_packed_train_step(self):
+        """Packed fast-width RL step: one [V, W] gather per table serves
+        the eval-net forward (:E slice injected) AND the lazy update
+        (moments ride in the row — ops/sparse_update.py::
+        packed_sparse_update); the TARGET net's next-step gathers inject
+        the :E slice of the packed TARGET leaf (a packed leaf cannot be
+        gathered in-module). 3 fast row passes per table per step."""
+        from pytorchrec_tpu.ops.sparse_update import packed_sparse_update
+
+        model, loss_fn = self.model, self.loss_fn
+        dense_tx = self._dense_tx
+        table_paths = self._table_paths
+        emb_dims = dict(self._table_emb_dims)
+        table_optimizer, table_lr = self.table_optimizer, self._table_lr
+        update_freq = model.update_freq
+
+        def train_step(state: SparseRLTrainState, batch):
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            flat_params = traverse_util.flatten_dict(state.params, sep="/")
+            flat_target = traverse_util.flatten_dict(state.target_params,
+                                                     sep="/")
+            specs = {
+                spec["path"]: spec
+                for spec in model.sharded_table_specs(batch).values()
+                if spec["path"] in table_paths
+            }
+            tspecs = {
+                spec["path"]: spec
+                for spec in model.sharded_target_specs(batch).values()
+                if spec["path"] in table_paths
+            }
+            ids_map, packed_rows, rows_in, trows_in = {}, {}, {}, {}
+            for path, spec in specs.items():
+                ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+                ids_map[path] = ids
+                leaf = jax.lax.stop_gradient(flat_params[path])
+                packed_rows[path] = leaf[ids]
+                rows_in[path] = packed_rows[path][:, :emb_dims[path]]
+            for path, spec in tspecs.items():
+                tids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+                tleaf = jax.lax.stop_gradient(flat_target[path])
+                trows_in[path] = tleaf[tids][:, :emb_dims[path]]
+
+            def compute_loss(params, rows):
+                patched = dict(batch)
+                for path, spec in specs.items():
+                    patched[spec["rows_key"]] = rows[path]
+                for path, spec in tspecs.items():
+                    patched[spec["rows_key"]] = trows_in[path]
+                prediction, target = model.apply(
+                    {"params": params}, {"params": state.target_params},
+                    patched, train=True, rngs={"dropout": step_rng},
+                )
+                return loss_fn(prediction, target)
+
+            loss, (dense_grads, row_grads) = jax.value_and_grad(
+                compute_loss, argnums=(0, 1)
+            )(state.params, rows_in)
+
+            updates, opt_state = dense_tx.update(
+                dense_grads, state.opt_state, state.params)
+            flat_p = dict(traverse_util.flatten_dict(state.params, sep="/"))
+            flat_u = dict(traverse_util.flatten_dict(updates, sep="/"))
+            # packed leaves must not see even a p+0 add (it would
+            # materialize a fresh [V, W] buffer and break the scatter's
+            # in-place aliasing with the donated state)
+            flat = {
+                k: (flat_p[k] if k in table_paths else flat_p[k] + flat_u[k])
+                for k in flat_p
+            }
+
+            step = state.step + 1
+            for path, ids in ids_map.items():
+                flat[path] = packed_sparse_update(
+                    flat[path], packed_rows[path], ids, row_grads[path],
+                    step, lr=table_lr, optimizer=table_optimizer)
+            params = traverse_util.unflatten_dict(flat, sep="/")
+
+            target_params = jax.lax.cond(
+                step % update_freq == 0,
+                lambda: params,
+                lambda: state.target_params,
+            )
+            new_state = state.replace(
+                params=params, opt_state=opt_state, step=step,
+                target_params=target_params,
+                table_moments=state.table_moments,
+            )
+            return new_state, loss
+
+        return train_step
+
+    def _build_eval_step(self):
+        if not self.packed_tables:
+            return super()._build_eval_step()
+        model = self.model
+        table_paths = self._table_paths
+        emb_dims = dict(self._table_emb_dims)
+
+        def eval_step(params, batch):
+            flat_p = traverse_util.flatten_dict(params, sep="/")
+            patched = dict(batch)
+            for spec in model.sharded_table_specs(batch).values():
+                path = spec["path"]
+                if path not in table_paths:
+                    continue
+                ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
+                patched[spec["rows_key"]] = \
+                    flat_p[path][ids][:, :emb_dims[path]]
+            prediction = model.apply_eval({"params": params}, patched)
+            from pytorchrec_tpu.models.base import one_hot_first_target
+
+            target = (one_hot_first_target(prediction)
+                      if prediction.ndim == 2 else None)
+            return prediction, target
+
+        return self._jit_eval_step(eval_step)
 
 
 class ShardedSparseRLTrainer(SparseRLTrainer):

@@ -4,7 +4,8 @@ FUTURE #4's last tail: with the RL zoo on the sparse path
 (SparseRLTrainer), measure what it buys at scale — DQN with a [1M, 64]
 item table, B=4096, 20-step states, 4 next-candidates: dense-Adam
 RLTrainer (twin full tables + full Adam moments move every step) vs
-SparseRLTrainer (row-sparse lazy Adam over touched rows only).
+SparseRLTrainer classic (separate m/v buffers) vs packed fast-width rows
+(table||m||v in one [V, W] leaf, both networks' gathers injected).
 
 Interleaved same-window protocol, fetch-forced timing (CLAUDE.md).
 
@@ -57,7 +58,10 @@ def build(mode):
                                  category_num=V_ITEM),
             emb_size=E, hidden_size=E),
         reward_column=col(feature_name="label", category_num=2))
-    t = (SparseRLTrainer if mode == "sparse" else RLTrainer)(model)
+    if mode == "dense":
+        t = RLTrainer(model)
+    else:
+        t = SparseRLTrainer(model, packed_tables=(mode == "packed"))
     t.compile(optimizer="adam", lr=1e-3, loss="mse", metrics=(),
               matmul_precision="bfloat16")
     rng = np.random.default_rng(0)
@@ -83,7 +87,7 @@ def window(t, dev):
 
 
 def main():
-    modes = sys.argv[1:] or ["dense", "sparse"]
+    modes = sys.argv[1:] or ["dense", "sparse", "packed"]
     trainers = {}
     for mode in modes:
         print(f"building {mode} ...", flush=True)
