@@ -218,15 +218,15 @@ class MetricList:
         # fail loudly on the silent-flatten misconfiguration (ADVICE r3 #5):
         # a plain pointwise metric next to TaskSlice metrics would pool both
         # task columns of a multi-task [B, T] prediction into one blended
-        # number — slice every pointwise metric ("auc/0") instead
+        # number — slice every pointwise metric ("auc/0") instead.
+        # Deferred to call time (ADVICE r4): single-task [B] predictions
+        # pooled next to 'auc/0' are harmless, and prediction arity is only
+        # known once a prediction arrives.
+        self._plain_with_slices: List[str] = []
         if any(isinstance(m, TaskSlice) for m in self.metrics):
-            plain = [m.name for m in self.metrics
-                     if _is_pointwise(m) and not isinstance(m, TaskSlice)]
-            assert not plain, (
-                f"plain pointwise metrics {plain} cannot be combined with "
-                "task-sliced metrics on multi-task [B, T] predictions — "
-                "use their sliced forms (e.g. 'auc/0')"
-            )
+            self._plain_with_slices = [
+                m.name for m in self.metrics
+                if _is_pointwise(m) and not isinstance(m, TaskSlice)]
         rank_metrics = [m for m in self.metrics if type(m) in RANK_METRICS.values()]
         if rank_metrics:
             self.user_sample_n = rank_metrics[0].user_sample_n
@@ -237,7 +237,16 @@ class MetricList:
         else:
             self.user_sample_n = user_sample_n
 
+    def _check_slice_mixing(self, prediction) -> None:
+        if self._plain_with_slices and getattr(prediction, "ndim", 1) >= 2 \
+                and prediction.shape[-1] > 1:
+            raise AssertionError(
+                f"plain pointwise metrics {self._plain_with_slices} cannot "
+                "be combined with task-sliced metrics on multi-task [B, T] "
+                "predictions — use their sliced forms (e.g. 'auc/0')")
+
     def __call__(self, prediction, target=None) -> Dict[str, float]:
+        self._check_slice_mixing(jnp.asarray(prediction))
         logs: Dict[str, float] = {}
         pos_ranks = None
         for metric in self.metrics:
@@ -306,6 +315,7 @@ class MetricList:
 
         state = dict(state)
         prediction = jnp.asarray(prediction)
+        self._check_slice_mixing(prediction)
         if "rank_hist" in state:
             scores = prediction.reshape(-1, self.user_sample_n)
             row_ok = jnp.arange(scores.shape[0]) < valid

@@ -205,7 +205,7 @@ def packed_quantized_update(
         [sorted_ids[1:] != sorted_ids[:-1], jnp.ones((1,), bool)])
 
     g = segmented_sum_scan(_bytes_to_f32(moved[:, base:base + 4 * e]),
-                           is_start)
+                           is_start, emb_dim=e)
     q_old = jax.lax.bitcast_convert_type(moved[:, :qb], jnp.int8)
     scale_old = _bytes_to_f32(moved[:, qb:qb + 4 * col_groups])
     acc_old = _bytes_to_f32(moved[:, qb + 4 * col_groups:

@@ -248,9 +248,14 @@ def _segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.cond(all_done, lambda args: args[0], tail, (x, done))
 
 
-def segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
-    """Dispatcher. The Pallas single-HBM-pass kernel
-    (ops/kernels/seg_scan.py) auto-enables on TPU at E >= 64 — the
+def segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray,
+                       emb_dim: int = None) -> jnp.ndarray:
+    """Dispatcher. ``x`` must be an ``[n, E]`` EMBEDDING-dim slice — the
+    auto-enable keys on the embedding dim, so callers holding a wider
+    packed/wire row (W >= 64 even at E=16, where the kernel measurably
+    loses 8.5 ms/step) must pass ``emb_dim`` explicitly rather than let
+    the operand width decide (ADVICE r4). The Pallas single-HBM-pass
+    kernel (ops/kernels/seg_scan.py) auto-enables on TPU at E >= 64 — the
     measured crossover (`scripts/seg_scan_e_ab.py`, interleaved
     same-window A/B, v5e-1):
 
@@ -268,7 +273,8 @@ def segmented_sum_scan(x: jnp.ndarray, is_start: jnp.ndarray) -> jnp.ndarray:
     from pytorchrec_tpu.ops.kernels import use_pallas_default
 
     flag = os.environ.get("PYTORCHREC_TPU_SEG_SCAN_PALLAS")
-    want = x.shape[-1] >= 64 if flag is None or flag == "" else flag != "0"
+    e = x.shape[-1] if emb_dim is None else emb_dim
+    want = e >= 64 if flag is None or flag == "" else flag != "0"
     if want and use_pallas_default() and x.shape[0] >= 512:
         from pytorchrec_tpu.ops.kernels.seg_scan import segmented_sum_scan_pallas
 
@@ -457,7 +463,7 @@ def packed_sparse_update_bytes(
         [sorted_ids[1:] != sorted_ids[:-1], jnp.ones((1,), bool)]
     )
     g = segmented_sum_scan(bytes_to_f32(moved[:, base:base + 4 * e]),
-                           is_start)
+                           is_start, emb_dim=e)
     fields = bytes_to_f32(moved[:, :base])  # [n, c] t||moments
     t_old = fields[:, :e]
 

@@ -161,11 +161,25 @@ class Task(ITask):
         inner = getattr(model, "qnet", model)  # RL wrapper holds the net
         quantized = bool(getattr(inner, "quantized_table", False)
                          or getattr(inner, "quantized_embedding", False))
+        # Misconfiguration fails loudly at construction (ADVICE r4):
+        # a dense route cannot honor trainer_kwargs, and a dense trainer
+        # on a quantized model would route uint8 leaves into value_and_grad
+        # and die later with an opaque JAX error.
+        if trainer == "dense":
+            assert not quantized, (
+                "trainer='dense' on a model with quantized byte-row tables: "
+                "dense trainers cannot differentiate uint8 leaves; use "
+                "trainer='auto'/'sparse'/'quantized'.")
         if isinstance(model, ValueRLModel):
             from pytorchrec_tpu.training import SparseRLTrainer
 
             use_sparse = (trainer in ("sparse", "quantized")
                           or (trainer == "auto" and quantized))
+            if not use_sparse and tkw:
+                raise ValueError(
+                    f"trainer_kwargs {sorted(tkw)} given but routing resolved "
+                    f"to the dense RLTrainer (trainer={trainer!r}); pass "
+                    "trainer='sparse' or drop the kwargs.")
             trainer_cls = SparseRLTrainer if use_sparse else RLTrainer
             self.trainer = trainer_cls(model, mesh=mesh,
                                        **(tkw if use_sparse else {}))
@@ -183,6 +197,11 @@ class Task(ITask):
             tkw.setdefault("packed_tables", True)
             self.trainer = SparseEmbeddingTrainer(model, mesh=mesh, **tkw)
         else:
+            if tkw:
+                raise ValueError(
+                    f"trainer_kwargs {sorted(tkw)} given but routing resolved "
+                    f"to the dense Trainer (trainer={trainer!r}); pass "
+                    "trainer='sparse'/'quantized' or drop the kwargs.")
             self.trainer = Trainer(model, mesh=mesh)
 
     @classmethod

@@ -397,6 +397,18 @@ class SparseRLTrainer(RLTrainer):
 
             updates, opt_state = dense_tx.update(
                 dense_grads, state.opt_state, state.params)
+            # optax.masked passes MASKED (table) leaves through
+            # UNTRANSFORMED — the raw gradient, not a descent update. Row
+            # injection makes those grads structurally zero today, but if a
+            # model ever silently fell back to an in-module gather (rows_key
+            # mismatch) the table would take an unscaled gradient-ASCENT
+            # step. Zero table-leaf updates explicitly (ADVICE r4).
+            upd_flat = dict(traverse_util.flatten_dict(updates, sep="/"))
+            for tp in table_paths:
+                u = upd_flat[tp]
+                if u.dtype != jax.dtypes.float0:
+                    upd_flat[tp] = jnp.zeros_like(u)
+            updates = traverse_util.unflatten_dict(upd_flat, sep="/")
             params = jax.tree_util.tree_map(
                 lambda p, u: p if u.dtype == jax.dtypes.float0 else p + u,
                 state.params, updates)
@@ -628,8 +640,13 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
         def pspec(path, leaf):
             joined = "/".join(str(getattr(k, "key", k)) for k in path)
             # table leaves appear under params/, target_params/ and
-            # table_moments/ — all row-shard over the model axis
-            if any(tp in joined for tp in table_paths):
+            # table_moments/ — all row-shard over the model axis. Match on
+            # whole path-segment suffixes, not substrings: a dense param
+            # whose flat path merely CONTAINS a table path (e.g. a future
+            # 'i_embedding/embedding_proj') must not be row-sharded
+            # (ADVICE r4).
+            bounded = "/" + joined + "/"
+            if any(("/" + tp + "/") in bounded for tp in table_paths):
                 ndim = getattr(leaf, "ndim", 1)
                 return PartitionSpec(MODEL_AXIS, *([None] * (ndim - 1)))
             return PartitionSpec()

@@ -202,6 +202,25 @@ class TestTaskSliceMetric:
             # AUC partials are histogram-binned (~1e-4); logloss exact
             assert streamed[key] == pytest.approx(direct[key], abs=2e-3), key
 
+    def test_plain_pointwise_mixing_guard_is_call_time(self):
+        """ADVICE r4 #5: a pooled 'auc' next to 'auc/0' is legal to
+        CONSTRUCT and harmless on single-task [B] predictions; it raises
+        only when a multi-task [B, T>1] prediction actually arrives."""
+        rng = np.random.default_rng(7)
+        ml = MetricList(["auc", "auc/0"], user_sample_n=1)  # no raise
+        pred1 = rng.normal(size=(64, 1)).astype(np.float32)
+        t1 = rng.integers(0, 2, size=(64, 1)).astype(np.float32)
+        logs = ml(pred1, t1)  # [B, 1] prediction: pooled auc == auc/0
+        assert logs["auc"] == pytest.approx(logs["auc/0"])
+
+        pred2 = rng.normal(size=(64, 2)).astype(np.float32)
+        t2 = rng.integers(0, 2, size=(64, 2)).astype(np.float32)
+        with pytest.raises(AssertionError, match="cannot be combined"):
+            ml(pred2, t2)
+        with pytest.raises(AssertionError, match="cannot be combined"):
+            ml.partial_update(ml.partial_init(), jnp.asarray(pred2),
+                              jnp.asarray(t2), jnp.asarray(64))
+
 
 @pytest.fixture(scope="module")
 def mt_dataset(tmp_path_factory):
