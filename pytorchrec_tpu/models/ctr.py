@@ -57,6 +57,11 @@ class _CTRBase(RecModel):
     # 4x less table HBM; train with QuantizedEmbeddingTrainer (rowwise
     # adagrad + stochastic-rounding requantize). Requires unified_embedding.
     quantized_embedding: bool = False
+    # MEASURED: the CTR family is insensitive to the rowwise-Adagrad table
+    # lr (its quantized quality runs used the shared dense lr and matched
+    # f32 — RESULTS.md round 4), so resolve_table_lr neither overrides nor
+    # warns for these models (VERDICT r4 #6)
+    table_lr_shared_ok: bool = True
     # 8 (default) or 4: int4 packs two values per byte (8x less table HBM
     # than f32, scale = absmax/7) — same trainer, same stochastic rounding
     table_bits: int = 8

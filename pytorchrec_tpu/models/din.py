@@ -43,6 +43,11 @@ class DIN(RecModel):
     # (packed_tables=True) or ShardedSparseEmbeddingTrainer; the forward
     # dequantizes in-module when no trainer injects rows.
     quantized_table: bool = False
+    # measured rowwise-Adagrad table lr (ABSOLUTE — RESULTS.md
+    # round-4 quantized-quality table); consumed by
+    # training/sparse_trainer.py::resolve_table_lr when the item
+    # table runs a rowwise-style optimizer (VERDICT r4 #6)
+    table_lr_hint: float = 2e-2
     table_bits: int = 8
     scale_col_groups: int = 1
 

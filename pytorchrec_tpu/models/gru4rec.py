@@ -27,6 +27,11 @@ class GRU4Rec(RecModel):
     table_row_multiple: int = 1
     # item table as int8/int4 packed byte rows (same contracts as DIN)
     quantized_table: bool = False
+    # measured rowwise-Adagrad table lr (ABSOLUTE — RESULTS.md
+    # round-4 quantized-quality table); consumed by
+    # training/sparse_trainer.py::resolve_table_lr when the item
+    # table runs a rowwise-style optimizer (VERDICT r4 #6)
+    table_lr_hint: float = 2e-2
     table_bits: int = 8
     scale_col_groups: int = 1
 

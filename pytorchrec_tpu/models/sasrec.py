@@ -37,6 +37,11 @@ class SASRec(RecModel):
     # train with QuantizedEmbeddingTrainer(packed_tables=True) or the
     # sharded engine (same contracts as DIN)
     quantized_table: bool = False
+    # measured rowwise-Adagrad table lr (ABSOLUTE — RESULTS.md
+    # round-4 quantized-quality table); consumed by
+    # training/sparse_trainer.py::resolve_table_lr when the item
+    # table runs a rowwise-style optimizer (VERDICT r4 #6)
+    table_lr_hint: float = 4e-3
     table_bits: int = 8
     scale_col_groups: int = 1
 

@@ -78,9 +78,13 @@ class QuantizedEmbeddingTrainer(Trainer):
 
     def compile(self, *args, lr: float = 1e-3, **kwargs):
         super().compile(*args, lr=lr, **kwargs)
-        # rowwise-Adagrad tables often need a higher lr than the dense adam
-        # (DIN: 4x recovers f32-adam quality — RESULTS.md round 4)
-        self._table_lr = self._table_lr_override or lr
+        # quantized rows always carry the rowwise-Adagrad accumulator, so
+        # the model's measured table_lr_hint applies (sparse_trainer.py::
+        # resolve_table_lr — VERDICT r4 #6)
+        from pytorchrec_tpu.training.sparse_trainer import resolve_table_lr
+
+        self._table_lr = resolve_table_lr(
+            self.model, self._table_lr_override, lr, rowwise_tables=True)
 
     def _make_state(self, sample_batch, seed) -> QuantizedTrainState:
         root = jax.random.PRNGKey(seed)

@@ -264,7 +264,13 @@ class SparseRLTrainer(RLTrainer):
 
     def compile(self, *args, lr: float = 1e-3, **kwargs):
         super().compile(*args, lr=lr, **kwargs)
-        self._table_lr = self._table_lr_override or lr
+        from pytorchrec_tpu.training.sparse_trainer import resolve_table_lr
+
+        inner = getattr(self.model, "qnet", self.model)
+        rowwise = (self.table_optimizer == "rowwise_adagrad"
+                   or bool(getattr(inner, "quantized_table", False)))
+        self._table_lr = resolve_table_lr(
+            inner, self._table_lr_override, lr, rowwise)
 
     def _make_state(self, sample_batch, seed) -> SparseRLTrainState:
         import optax
@@ -590,32 +596,61 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
       through the target keys — nothing routes back (stop_gradient,
       reference DQN.py:97-100); the periodic sync copies shard to shard.
 
-    Scope: strategy = 1-d row sharding; f32 AND quantized int8/int4
-    byte-row tables (``quantized_table=True`` QNets — the lookup return
-    hops ship q||scale bytes for BOTH networks, the owner shard updates
-    via packed_quantized_update with id-keyed rounding). Dropout folds
-    the data shard index into the stream (distinct per replica, like the
-    embedding trainer)."""
+    Scope: strategy = "1d" row sharding or "grid" (round 5 — the
+    flattened (data, model) grid with one unique owner per row: d-fold
+    less table HBM per device, backward applies each row's update once
+    locally with no data-axis all_gather); f32 classic, f32 PACKED
+    fast-width rows (``packed_tables=True`` — the [V, W] table‖m‖v leaf
+    row-shards over ``model``, lookups slice to E via ``out_cols`` before
+    the return hop exactly like the embedding trainer's path 5, so ICI
+    traffic stays at E while the owner-shard update is one
+    ``packed_sparse_update``; VERDICT r4 #3 — the 1.88×-winning
+    single-chip RL format is now also the multi-chip RL format), AND
+    quantized int8/int4 byte-row tables (``quantized_table=True`` QNets —
+    the lookup return hops ship q||scale bytes for BOTH networks, the
+    owner shard updates via packed_quantized_update with id-keyed
+    rounding). Dropout folds the data shard index into the stream
+    (distinct per replica, like the embedding trainer)."""
 
     def __init__(self, model: ValueRLModel, mesh=None,
                  table_optimizer: str = "adam", table_lr: float = None,
-                 exchange_capacity=None):
-        from pytorchrec_tpu.parallel import MODEL_AXIS
+                 exchange_capacity=None, packed_tables: bool = False,
+                 packed_min_width: int = 64, strategy: str = "1d"):
+        from pytorchrec_tpu.parallel import DATA_AXIS, MODEL_AXIS
 
         assert mesh is not None, "ShardedSparseRLTrainer requires a mesh"
-        assert mesh.shape.get(MODEL_AXIS, 1) > 1, (
-            f"mesh needs a model axis > 1, got {dict(mesh.shape)} "
-            "(use SparseRLTrainer for single-shard tables)")
+        # "grid" (round 5, VERDICT r4 #4): both networks' tables row-shard
+        # over the FLATTENED (data, model) grid — one unique owner per row
+        # among all d*m devices, so per-device table HBM drops d-fold and
+        # the backward applies each update once locally (no data-axis
+        # all_gather / replicated-update discipline). Composes with f32
+        # classic, packed fast-width and quantized byte-row formats.
+        assert strategy in ("1d", "grid"), strategy
+        if strategy == "grid":
+            assert (mesh.shape.get(MODEL_AXIS, 1)
+                    * mesh.shape.get(DATA_AXIS, 1)) > 1
+        else:
+            assert mesh.shape.get(MODEL_AXIS, 1) > 1, (
+                f"mesh needs a model axis > 1, got {dict(mesh.shape)} "
+                "(use SparseRLTrainer for single-shard tables)")
         assert hasattr(model, "sharded_target_specs"), type(model).__name__
         super().__init__(model, mesh=mesh, table_optimizer=table_optimizer,
-                         table_lr=table_lr)
+                         table_lr=table_lr, packed_tables=packed_tables,
+                         packed_min_width=packed_min_width)
+        self.strategy = strategy
         self.exchange_capacity = exchange_capacity
 
-    def _make_state(self, sample_batch, seed):
-        from pytorchrec_tpu.parallel import MODEL_AXIS
+    def _n_table_shards(self):
+        from pytorchrec_tpu.parallel import DATA_AXIS, MODEL_AXIS
 
-        state = super()._make_state(sample_batch, seed)
         m = self.mesh.shape[MODEL_AXIS]
+        if self.strategy == "grid":
+            return m * self.mesh.shape[DATA_AXIS]
+        return m
+
+    def _make_state(self, sample_batch, seed):
+        state = super()._make_state(sample_batch, seed)
+        n = self._n_table_shards()
         flat = traverse_util.flatten_dict(state.params, sep="/")
         # eagerly-declared quantized params: flax validates their shape
         # inside shard_map where the leaf is a SHARD — record full shapes
@@ -623,32 +658,35 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
         self._q_full_shapes = {path: tuple(flat[path].shape)
                                for path in self._q_info}
         for path in self._table_paths:
-            assert flat[path].shape[0] % m == 0, (
+            assert flat[path].shape[0] % n == 0, (
                 f"{path}: {flat[path].shape[0]} rows do not divide the "
-                f"model axis ({m}) — set table_row_multiple on the model")
+                f"{n} table shards — set table_row_multiple on the model")
         return state
 
     def _compute_state_shardings(self, sample_batch, seed):
         from jax.sharding import NamedSharding, PartitionSpec
 
-        from pytorchrec_tpu.parallel import MODEL_AXIS
+        from pytorchrec_tpu.parallel import DATA_AXIS, MODEL_AXIS
 
         shape_tree = jax.eval_shape(lambda: self._make_state(sample_batch,
                                                              seed))
         table_paths = self._table_paths
+        row_axes = ((DATA_AXIS, MODEL_AXIS) if self.strategy == "grid"
+                    else MODEL_AXIS)
 
         def pspec(path, leaf):
             joined = "/".join(str(getattr(k, "key", k)) for k in path)
             # table leaves appear under params/, target_params/ and
-            # table_moments/ — all row-shard over the model axis. Match on
-            # whole path-segment suffixes, not substrings: a dense param
+            # table_moments/ — all row-shard over the model axis (the
+            # flattened (data, model) grid under strategy="grid"). Match
+            # on whole path-segment runs, not substrings: a dense param
             # whose flat path merely CONTAINS a table path (e.g. a future
             # 'i_embedding/embedding_proj') must not be row-sharded
             # (ADVICE r4).
             bounded = "/" + joined + "/"
             if any(("/" + tp + "/") in bounded for tp in table_paths):
                 ndim = getattr(leaf, "ndim", 1)
-                return PartitionSpec(MODEL_AXIS, *([None] * (ndim - 1)))
+                return PartitionSpec(row_axes, *([None] * (ndim - 1)))
             return PartitionSpec()
 
         self._state_pspecs = jax.tree_util.tree_map_with_path(pspec,
@@ -669,6 +707,8 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
         from pytorchrec_tpu.parallel.embedding_engine import (
             all_to_all_lookup,
             all_to_all_rowgrad,
+            grid_lookup,
+            grid_rowgrad,
         )
 
         from pytorchrec_tpu.ops.kernels.quantize import table_rounding_salt
@@ -677,6 +717,8 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
             packed_quantized_update,
             q_row_bytes,
         )
+
+        from pytorchrec_tpu.ops.sparse_update import packed_sparse_update
 
         model, loss_fn = self.model, self.loss_fn
         dense_tx = self._dense_tx
@@ -687,6 +729,8 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
         mesh, cap = self.mesh, self.exchange_capacity
         q_full_shapes = dict(getattr(self, "_q_full_shapes", {}))
         inv_data = 1.0 / mesh.shape[DATA_AXIS]
+        use_packed = self.packed_tables
+        emb_dims = dict(self._table_emb_dims) if use_packed else {}
         _flat = lambda t: traverse_util.flatten_dict(t, sep="/")
         _unflat = lambda f: traverse_util.unflatten_dict(f, sep="/")
 
@@ -699,12 +743,15 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
             return out
 
         def _out_cols(path):
-            # quantized leaves ship only q||scale on the wire
+            # quantized leaves ship only q||scale on the wire; packed f32
+            # rows slice to E before the return hop (ICI traffic stays at
+            # E while the local gather rides the fast [V/m, W] width —
+            # same as the embedding trainer's path 5)
             if path in q_info:
                 i = q_info[path]
                 return (q_row_bytes(i["emb_size"], i["bits"])
                         + 4 * i["col_groups"])
-            return None
+            return emb_dims.get(path)
 
         def _model_rows(path, raw):
             if path in q_info:
@@ -712,6 +759,16 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
                 return dequant_packed_rows(raw, i["emb_size"], i["bits"],
                                            i["col_groups"])
             return raw
+
+        grid = self.strategy == "grid"
+        table_axes = (DATA_AXIS, MODEL_AXIS)
+
+        def _lookup(shard, ids, oc):
+            if grid:
+                return grid_lookup(shard, ids, table_axes, capacity=cap,
+                                   out_cols=oc)
+            return all_to_all_lookup(shard, ids, MODEL_AXIS, capacity=cap,
+                                     out_cols=oc)
 
         def step_body(state, batch):
             didx = jax.lax.axis_index(DATA_AXIS)
@@ -733,14 +790,14 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
             for path, spec in specs.items():
                 ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
                 ids_map[path] = ids
-                rows_in[path] = _model_rows(path, all_to_all_lookup(
-                    jax.lax.stop_gradient(flat_p[path]), ids, MODEL_AXIS,
-                    capacity=cap, out_cols=_out_cols(path)))
+                rows_in[path] = _model_rows(path, _lookup(
+                    jax.lax.stop_gradient(flat_p[path]), ids,
+                    _out_cols(path)))
             for path, spec in tspecs.items():
                 tids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
-                trows_in[path] = _model_rows(path, all_to_all_lookup(
-                    jax.lax.stop_gradient(flat_t[path]), tids, MODEL_AXIS,
-                    capacity=cap, out_cols=_out_cols(path)))
+                trows_in[path] = _model_rows(path, _lookup(
+                    jax.lax.stop_gradient(flat_t[path]), tids,
+                    _out_cols(path)))
 
             dense_flat = {k: v for k, v in flat_p.items()
                           if k not in table_paths}
@@ -773,25 +830,75 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
             })
             updates, opt_state = dense_tx.update(
                 dense_grads, state.opt_state, state.params)
-            params = jax.tree_util.tree_map(
-                lambda p, u: p + u, state.params, updates)
+            # packed table leaves must not see even a p+0 add (it would
+            # materialize a fresh [V/m, W] buffer and break the scatter's
+            # in-place aliasing with the donated state)
+            flat_u = _flat(updates)
+            flat = {
+                k: (flat_p[k] if (use_packed and k in table_paths)
+                    else flat_p[k] + flat_u[k])
+                for k in flat_p
+            }
 
             step = state.step + 1
-            flat = dict(_flat(params))
             moments = dict(state.table_moments)
             for path, ids in ids_map.items():
                 shard = flat[path]
                 rows_per_shard = shard.shape[0]
                 g_occ = row_grads[path] * inv_data
-                r_ids, r_rows = all_to_all_rowgrad(
-                    ids, g_occ, rows_per_shard, MODEL_AXIS, capacity=cap)
-                # dedup before the data gather; replicated-update
-                # discipline over data (every replica applies the same
-                # update to its copy of the row shard)
-                g = dedup_row_grads(r_ids, r_rows)
-                all_ids = jax.lax.all_gather(g.ids, DATA_AXIS, tiled=True)
-                all_rows = jax.lax.all_gather(g.rows, DATA_AXIS, tiled=True)
-                offset = jax.lax.axis_index(MODEL_AXIS) * rows_per_shard
+                if use_packed and path not in q_info:
+                    # ONE packed_sparse_update per shard (the internal
+                    # sort/scan dedups; exchange sentinels map >= V/m and
+                    # drop at the scatter) — the embedding trainer's
+                    # path-5 discipline applied to RL
+                    if grid:
+                        # unique owner per row over the (data, model)
+                        # grid: no data-axis gather, applied once
+                        a_ids, a_rows = grid_rowgrad(
+                            ids, g_occ, rows_per_shard, table_axes,
+                            capacity=cap)
+                        offset = (jax.lax.axis_index(table_axes)
+                                  * rows_per_shard)
+                    else:
+                        r_ids, r_pay = all_to_all_rowgrad(
+                            ids, g_occ, rows_per_shard, MODEL_AXIS,
+                            capacity=cap)
+                        a_ids = jax.lax.all_gather(r_ids, DATA_AXIS,
+                                                   tiled=True)
+                        a_rows = jax.lax.all_gather(r_pay, DATA_AXIS,
+                                                    tiled=True)
+                        offset = (jax.lax.axis_index(MODEL_AXIS)
+                                  * rows_per_shard)
+                    local_ids = (a_ids - offset).astype(jnp.int32)
+                    rows_now = jax.lax.stop_gradient(shard)[local_ids]
+                    flat[path] = packed_sparse_update(
+                        shard, rows_now, local_ids, a_rows, step,
+                        lr=table_lr, optimizer=table_optimizer)
+                    continue
+                if grid:
+                    # every received row is owned HERE (unique grid
+                    # owner): dedup + apply locally, no data-axis gather
+                    r_ids, r_rows = grid_rowgrad(
+                        ids, g_occ, rows_per_shard, table_axes,
+                        capacity=cap)
+                    g = dedup_row_grads(r_ids, r_rows)
+                    all_ids, all_rows = g.ids, g.rows
+                    offset = (jax.lax.axis_index(table_axes)
+                              * rows_per_shard)
+                else:
+                    r_ids, r_rows = all_to_all_rowgrad(
+                        ids, g_occ, rows_per_shard, MODEL_AXIS,
+                        capacity=cap)
+                    # dedup before the data gather; replicated-update
+                    # discipline over data (every replica applies the same
+                    # update to its copy of the row shard)
+                    g = dedup_row_grads(r_ids, r_rows)
+                    all_ids = jax.lax.all_gather(g.ids, DATA_AXIS,
+                                                 tiled=True)
+                    all_rows = jax.lax.all_gather(g.rows, DATA_AXIS,
+                                                  tiled=True)
+                    offset = (jax.lax.axis_index(MODEL_AXIS)
+                              * rows_per_shard)
                 local_ids = (all_ids - offset).astype(jnp.int32)
                 if path in q_info:
                     qi = q_info[path]
@@ -844,7 +951,10 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
         from jax.sharding import PartitionSpec
 
         from pytorchrec_tpu.parallel import DATA_AXIS, MODEL_AXIS
-        from pytorchrec_tpu.parallel.embedding_engine import all_to_all_lookup
+        from pytorchrec_tpu.parallel.embedding_engine import (
+            all_to_all_lookup,
+            grid_lookup,
+        )
 
         from pytorchrec_tpu.ops.quantized_packed import (
             dequant_packed_rows,
@@ -856,6 +966,8 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
         q_info = dict(self._q_info)
         q_full_shapes = dict(getattr(self, "_q_full_shapes", {}))
         mesh, cap = self.mesh, self.exchange_capacity
+        emb_dims = (dict(self._table_emb_dims) if self.packed_tables else {})
+        grid = self.strategy == "grid"
         _flat = lambda t: traverse_util.flatten_dict(t, sep="/")
         _unflat = lambda f: traverse_util.unflatten_dict(f, sep="/")
 
@@ -867,13 +979,18 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
                 if path not in table_paths:
                     continue
                 ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
-                oc = None
+                oc = emb_dims.get(path)  # packed rows slice to E on the wire
                 if path in q_info:
                     i = q_info[path]
                     oc = (q_row_bytes(i["emb_size"], i["bits"])
                           + 4 * i["col_groups"])
-                raw = all_to_all_lookup(flat_p[path], ids, MODEL_AXIS,
-                                        capacity=cap, out_cols=oc)
+                if grid:
+                    raw = grid_lookup(flat_p[path], ids,
+                                      (DATA_AXIS, MODEL_AXIS),
+                                      capacity=cap, out_cols=oc)
+                else:
+                    raw = all_to_all_lookup(flat_p[path], ids, MODEL_AXIS,
+                                            capacity=cap, out_cols=oc)
                 if path in q_info:
                     i = q_info[path]
                     raw = dequant_packed_rows(raw, i["emb_size"], i["bits"],

@@ -68,6 +68,46 @@ def _flatten(params):
     return traverse_util.flatten_dict(params, sep="/")
 
 
+def resolve_table_lr(model, override, lr, rowwise_tables: bool) -> float:
+    """Table-lr resolution shared by every sparse/quantized trainer
+    (VERDICT r4 #6 — close the silent-quality footgun).
+
+    Rowwise-Adagrad-style tables (the optimizer carried inside quantized
+    byte rows, or ``table_optimizer="rowwise_adagrad"``) undertrain the
+    sequence family at the shared dense lr: GRU4Rec int8 NDCG@10 0.044 at
+    lr=1e-3 vs 0.191 at the measured ABSOLUTE ~2e-2 band (RESULTS.md
+    round-4 quantized-quality table; the knob is absolute, not a multiple
+    of the dense lr). Resolution order:
+
+    1. an explicit ``table_lr=`` override (trainer kwarg / trainer_kwargs);
+    2. the model's measured ``table_lr_hint`` — set on DIN/GRU4Rec (2e-2)
+       and SASRec (4e-3), applied ONLY when the tables actually run the
+       rowwise-style optimizer (lazy-Adam f32 tables match dense quality
+       at the shared lr and keep it);
+    3. the shared dense ``lr`` — with a loud warning when rowwise tables
+       fall back on it and the model declares no hint, so a fresh user
+       cannot silently reproduce the 0.044 trap.
+    """
+    if override is not None:
+        return float(override)
+    hint = getattr(model, "table_lr_hint", None)
+    if rowwise_tables:
+        if hint is not None:
+            return float(hint)
+        if getattr(model, "table_lr_shared_ok", False):
+            # CTR family: measured insensitive at the shared lr — no
+            # override, no warning
+            return lr
+        logger.warning(
+            "rowwise-Adagrad-style tables on %s fall back to the shared "
+            "dense lr (%g). Measured guidance (RESULTS.md round 4): "
+            "sequence-family quality needs an ABSOLUTE table lr around "
+            "1-2e-2 — pass table_lr= (Task: trainer_kwargs={'table_lr': "
+            "...}) or set table_lr_hint on the model.",
+            type(model).__name__, lr)
+    return lr
+
+
 def _unflatten(flat):
     return traverse_util.unflatten_dict(flat, sep="/")
 
@@ -160,7 +200,11 @@ class SparseEmbeddingTrainer(Trainer):
         # the lazy table optimizers often want their OWN lr (measured: DIN
         # on rowwise-Adagrad needs ~4x adam's lr to reach f32-adam quality
         # — RESULTS.md round-4 quantized-quality section)
-        self._table_lr = self._table_lr_override or lr
+        rowwise = (self.table_optimizer == "rowwise_adagrad"
+                   or bool(getattr(self.model, "quantized_table", False))
+                   or bool(getattr(self.model, "quantized_embedding", False)))
+        self._table_lr = resolve_table_lr(
+            self.model, self._table_lr_override, lr, rowwise)
 
     def _declared_table_paths(self, sample_batch):
         return set(self.model.sparse_table_ids(sample_batch).keys())

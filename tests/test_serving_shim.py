@@ -86,6 +86,48 @@ def bundle(tmp_path_factory):
     return out
 
 
+@pytest.fixture(scope="module")
+def quantized_bundle(tmp_path_factory):
+    """int8 byte-row DCNv2 bundle (VERDICT r4 #8): the u8 packed table
+    bakes into the exported module (dequantize-in-graph,
+    test_serving_bundle.py::test_quantized_model_exports_int8_serving);
+    the shim must parse/validate this bundle's manifest and size
+    arithmetic exactly like the f32 one."""
+    from pytorchrec_tpu.feature_column import (
+        CategoricalColumnWithIdentity,
+        NumericColumn,
+    )
+    from pytorchrec_tpu.models import DCNv2
+    from pytorchrec_tpu.serving import export_serving_bundle
+    from pytorchrec_tpu.training.quantized_trainer import (
+        QuantizedEmbeddingTrainer,
+    )
+
+    rng = np.random.default_rng(1)
+    sparse = [CategoricalColumnWithIdentity(feature_name=f"c_{i}",
+                                            category_num=50)
+              for i in range(3)]
+    dense = [NumericColumn(feature_name="d_0")]
+    label = CategoricalColumnWithIdentity(feature_name="label", category_num=2)
+    model = DCNv2(sparse_columns=tuple(sparse), dense_columns=tuple(dense),
+                  label_column=label, emb_size=8, num_cross_layers=1,
+                  layers=(16,), unified_embedding=True,
+                  quantized_embedding=True, table_packed=True)
+    t = QuantizedEmbeddingTrainer(model, packed_tables=True)
+    t.compile(optimizer="adam", lr=1e-2, loss="bce", metrics=())
+    batch = {f"c_{i}": rng.integers(0, 50, size=32).astype(np.int32)
+             for i in range(3)}
+    batch["d_0"] = rng.normal(size=32).astype(np.float32)
+    batch["label"] = rng.integers(0, 2, size=32).astype(np.int32)
+    t.init_state(batch, seed=0)
+    t._train_step(batch)
+
+    out = str(tmp_path_factory.mktemp("qbundle"))
+    export_serving_bundle(t, {k: v for k, v in batch.items()
+                              if k != "label"}, out)
+    return out
+
+
 def test_shim_compiles_and_dry_validates_bundle(shim_binary, bundle):
     r = subprocess.run([shim_binary, bundle, "--dry"], capture_output=True,
                        text=True, timeout=120)
@@ -94,6 +136,14 @@ def test_shim_compiles_and_dry_validates_bundle(shim_binary, bundle):
 
     files = os.listdir(bundle)
     assert "module.stablehlo.bc" in files and "manifest.txt" in files
+
+
+def test_shim_dry_validates_quantized_bundle(shim_binary, quantized_bundle):
+    """Both bundle formats dry-validate in CI (VERDICT r4 #8)."""
+    r = subprocess.run([shim_binary, quantized_bundle, "--dry"],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "inputs" in r.stdout
 
 
 def test_dry_catches_corrupt_tensor(shim_binary, bundle, tmp_path):
