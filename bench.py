@@ -368,7 +368,12 @@ def main():
             f"Measured over device-resident batches: the dev tunnel moves "
             f"host batches at ~46 MB/s (~114 ms per 5.2 MB batch), an "
             f"environment artifact a production host's prefetch pipeline "
-            f"hides (sub-ms DMA)."
+            f"hides (sub-ms DMA). The host SIDE of that claim is now "
+            f"MEASURED, not assumed: this machine's "
+            f"StreamingBatchSource -> VocabMapper -> packing sustains "
+            f"~3.0M rows/s of formed b32768 batches single-process = "
+            f"3.4x this chip demand (scripts/host_pipeline_bench.py, "
+            f"RESULTS.md round-5 host-supply table)."
         )
     else:
         best_any = max((c["value"] for c in cfg_cache.values()), default=0.0)
