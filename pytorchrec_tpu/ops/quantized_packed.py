@@ -187,25 +187,83 @@ def packed_quantized_update(
     layout keys the same row identically (the sharded trainer passes its
     shard's row offset).
     """
+    import os
+
     n, e = dvec.shape
     w = packed.shape[1]
     qb = q_row_bytes(e, bits)
     base = packed_q_base(e, bits, col_groups)
     assert w >= base + 4 * e, (w, base, e)
 
-    sorted_ids, order = jax.lax.sort(
-        (ids, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-    staged = jnp.concatenate([
-        rows[:, :base], _f32_to_bytes(dvec),
-        jnp.zeros((n, w - base - 4 * e), jnp.uint8)], axis=1)
-    moved = staged[order]
+    # Plumbing-attack variants (VERDICT r4 #2 — the int8 step's ~4.5 ms of
+    # byte-view staging + layout-flip copies). A/B on-chip via
+    # scripts/int8_plumbing_ab.py; numerics identical (parity-tested):
+    #   ""         baseline: stage dvec bytes into the row, one combined
+    #              permute, slice+bitcast the grads back out
+    #   "dus"      stage via dynamic_update_slice instead of the 3-way
+    #              concatenate (the row tail is already zero)
+    #   "sortgrad" the variadic dedup sort CARRIES dvec's e f32 columns,
+    #              so grads never round-trip through the byte view and the
+    #              row permute moves the untouched gather output
+    #   "select"   staging AND the out-row assembly via elementwise
+    #              jnp.where over zero-padded pieces instead of
+    #              concatenate (select preserves operand layouts; the
+    #              concatenates are where XLA bounces u8 majors)
+    #
+    # Measured on-chip (scripts/int8_plumbing_ab.py, interleaved windows,
+    # v5e-1 2026-08-20): select WINS +1.5% (892.8k vs 879.4k ex/s,
+    # -1.2 ms/step, non-overlapping windows) and is the DEFAULT; dus
+    # LOSES 6% (821k), sortgrad LOSES 34% (580k — the variadic sort
+    # carrying E f32 columns costs far more than the byte staging it
+    # saves). "base" preserves the round-4 concatenate layout for A/B.
+    variant = os.environ.get("PYTORCHREC_TPU_QPACK_VARIANT", "select")
+    if variant == "base":
+        variant = ""
+
+    def _place(piece, start):
+        # zero-pad ``piece`` to [n, w] at column ``start`` (fusable pad)
+        return jnp.pad(piece, ((0, 0), (start, w - start - piece.shape[1])))
+
+    def _assemble_select(pieces):
+        # pieces: [(array, start_col)] disjoint; combined by elementwise
+        # adds of zero-padded full-width views (pure fusion, no concat)
+        out = _place(pieces[0][0], pieces[0][1])
+        for piece, start in pieces[1:]:
+            out = out + _place(piece, start)
+        return out
+
+    if variant == "sortgrad":
+        ops = (ids, jnp.arange(n, dtype=jnp.int32)) + tuple(
+            dvec[:, j] for j in range(e))
+        sorted_all = jax.lax.sort(ops, num_keys=1)
+        sorted_ids, order = sorted_all[0], sorted_all[1]
+        g_sorted = jnp.stack(sorted_all[2:], axis=1)  # [n, e] f32
+        moved = rows[order]
+    else:
+        sorted_ids, order = jax.lax.sort(
+            (ids, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+        if variant == "dus":
+            staged = jax.lax.dynamic_update_slice(
+                rows, _f32_to_bytes(dvec), (0, base))
+        elif variant == "select":
+            col = jnp.arange(w, dtype=jnp.int32)[None, :]
+            staged = jnp.where(col < base, rows,
+                               _place(_f32_to_bytes(dvec), base))
+        else:
+            staged = jnp.concatenate([
+                rows[:, :base], _f32_to_bytes(dvec),
+                jnp.zeros((n, w - base - 4 * e), jnp.uint8)], axis=1)
+        moved = staged[order]
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]])
     is_last = jnp.concatenate(
         [sorted_ids[1:] != sorted_ids[:-1], jnp.ones((1,), bool)])
 
-    g = segmented_sum_scan(_bytes_to_f32(moved[:, base:base + 4 * e]),
-                           is_start, emb_dim=e)
+    if variant == "sortgrad":
+        g = segmented_sum_scan(g_sorted, is_start, emb_dim=e)
+    else:
+        g = segmented_sum_scan(_bytes_to_f32(moved[:, base:base + 4 * e]),
+                               is_start, emb_dim=e)
     q_old = jax.lax.bitcast_convert_type(moved[:, :qb], jnp.int8)
     scale_old = _bytes_to_f32(moved[:, qb:qb + 4 * col_groups])
     acc_old = _bytes_to_f32(moved[:, qb + 4 * col_groups:
@@ -224,11 +282,18 @@ def packed_quantized_update(
     q_new, s_new = quantize_rows_xla(new_rows, rng_bits=rng_bits, bits=bits,
                                      col_groups=col_groups)
     s2 = s_new[:, None] if col_groups == 1 else s_new
-    out = jnp.concatenate([
-        jax.lax.bitcast_convert_type(q_new, jnp.uint8),
-        _f32_to_bytes(s2),
-        _f32_to_bytes(acc_new[:, None]),
-        jnp.zeros((n, w - base), jnp.uint8)], axis=1)
+    if variant == "select":
+        out = _assemble_select([
+            (jax.lax.bitcast_convert_type(q_new, jnp.uint8), 0),
+            (_f32_to_bytes(s2), qb),
+            (_f32_to_bytes(acc_new[:, None]), qb + 4 * col_groups),
+        ])
+    else:
+        out = jnp.concatenate([
+            jax.lax.bitcast_convert_type(q_new, jnp.uint8),
+            _f32_to_bytes(s2),
+            _f32_to_bytes(acc_new[:, None]),
+            jnp.zeros((n, w - base), jnp.uint8)], axis=1)
 
     slot = jnp.arange(n)
     safe_ids = jnp.where(is_last, sorted_ids,
