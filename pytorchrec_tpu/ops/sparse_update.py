@@ -338,11 +338,29 @@ def packed_sparse_update(
     # serializes (~6 ms at n=852k, measured)
     sorted_ids, order = jax.lax.sort(
         (ids, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    # row-assembly variant (scripts/f32_select_ab.py): "select" builds
+    # staged/out rows from elementwise where/pad-add fusions instead of
+    # concatenates. Measured on-chip (v5e-1 2026-08-20, interleaved
+    # windows): the f32 path LOSES 14.5% under select (620.4k vs 725.2k
+    # ex/s) — unlike the int8 twin (+1.5%, ops/quantized_packed.py) there
+    # are no u8 major-flip copies to delete here, so the pad-adds only
+    # add HBM traffic. Concatenate stays the default; the flag remains
+    # for A/B.
+    import os
+
+    select_rows = os.environ.get("PYTORCHREC_TPU_PACK_VARIANT", "") == \
+        "select"
     # stage grads in the padding columns -> ONE fast-width permute moves
     # grads, table and moments together
-    staged = jnp.concatenate(
-        [rows[:, :c], dvec.astype(rows.dtype),
-         jnp.zeros((n, w - c - e), rows.dtype)], axis=1)
+    if select_rows:
+        col = jnp.arange(w, dtype=jnp.int32)[None, :]
+        staged = jnp.where(
+            col < c, rows,
+            jnp.pad(dvec.astype(rows.dtype), ((0, 0), (c, w - c - e))))
+    else:
+        staged = jnp.concatenate(
+            [rows[:, :c], dvec.astype(rows.dtype),
+             jnp.zeros((n, w - c - e), rows.dtype)], axis=1)
     moved = staged[order]
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
@@ -366,22 +384,28 @@ def packed_sparse_update(
         s = step.astype(jnp.float32)
         delta = lr * (new_m / (1.0 - b1 ** s)) / (
             jnp.sqrt(new_v / (1.0 - b2 ** s)) + eps)
-        new_packed = jnp.concatenate([t_old - delta, new_m, new_v], axis=1)
+        pieces = [(t_old - delta, 0), (new_m, e), (new_v, 2 * e)]
     elif optimizer == "adagrad":
         acc_old = moved[:, e:2 * e].astype(jnp.float32)
         new_acc = acc_old + jnp.square(g)
         delta = lr * g / (jnp.sqrt(new_acc) + 1e-10)
-        new_packed = jnp.concatenate([t_old - delta, new_acc], axis=1)
+        pieces = [(t_old - delta, 0), (new_acc, e)]
     else:  # rowwise_adagrad
         acc_old = moved[:, e].astype(jnp.float32)
         new_acc = acc_old + jnp.mean(jnp.square(g), axis=-1)
         delta = lr * g / (jnp.sqrt(new_acc)[:, None] + eps)
-        new_packed = jnp.concatenate(
-            [t_old - delta, new_acc[:, None]], axis=1)
+        pieces = [(t_old - delta, 0), (new_acc[:, None], e)]
 
-    new_packed = new_packed.astype(packed.dtype)
-    pad = jnp.zeros((n, w - new_packed.shape[1]), packed.dtype)
-    new_packed = jnp.concatenate([new_packed, pad], axis=1)
+    if select_rows:
+        new_packed = sum(
+            jnp.pad(p.astype(packed.dtype),
+                    ((0, 0), (s, w - s - p.shape[1])))
+            for p, s in pieces)
+    else:
+        body = jnp.concatenate([p for p, _ in pieces], axis=1)
+        body = body.astype(packed.dtype)
+        pad = jnp.zeros((n, w - body.shape[1]), packed.dtype)
+        new_packed = jnp.concatenate([body, pad], axis=1)
     # scatter only each segment's last slot; the rest route out of range
     slot = jnp.arange(n)
     safe_ids = jnp.where(is_last, sorted_ids,
