@@ -211,12 +211,15 @@ def packed_quantized_update(
     #              concatenates are where XLA bounces u8 majors)
     #
     # Measured on-chip (scripts/int8_plumbing_ab.py, interleaved windows,
-    # v5e-1 2026-08-20): select WINS +1.5% (892.8k vs 879.4k ex/s,
-    # -1.2 ms/step, non-overlapping windows) and is the DEFAULT; dus
-    # LOSES 6% (821k), sortgrad LOSES 34% (580k — the variadic sort
+    # v5e-1 2026-08-20): select WINS +1.5% at int8 (892.8k vs 879.4k
+    # ex/s, -1.2 ms/step, non-overlapping windows) and is the int8
+    # DEFAULT — but LOSES 3.1% at int4 (664.0k vs 685.1k; the nibble
+    # pack/unpack chain fuses differently), so int4 keeps concatenate.
+    # dus LOSES 6% (821k), sortgrad LOSES 34% (580k — the variadic sort
     # carrying E f32 columns costs far more than the byte staging it
     # saves). "base" preserves the round-4 concatenate layout for A/B.
-    variant = os.environ.get("PYTORCHREC_TPU_QPACK_VARIANT", "select")
+    default = "select" if bits == 8 else ""
+    variant = os.environ.get("PYTORCHREC_TPU_QPACK_VARIANT", default)
     if variant == "base":
         variant = ""
 

@@ -39,7 +39,7 @@ def make_host_batch(rng):
     return b
 
 
-def build(variant_value):
+def build(variant_value, bits=8):
     import jax
 
     from pytorchrec_tpu.feature_column import (
@@ -61,7 +61,8 @@ def build(variant_value):
     model = DCNv2(sparse_columns=tuple(sparse), dense_columns=tuple(dense),
                   label_column=label, emb_size=EMB, num_cross_layers=3,
                   layers=(256, 128), unified_embedding=True,
-                  quantized_embedding=True, table_packed=True)
+                  quantized_embedding=True, table_packed=True,
+                  table_bits=bits)
     t = QuantizedEmbeddingTrainer(model, packed_tables=True)
     t.compile(optimizer="adam", lr=1e-3, loss="bce", metrics=("auc",),
               matmul_precision="bfloat16")
@@ -88,11 +89,17 @@ def window(t, dev, variant_value):
 
 
 def main():
-    names = sys.argv[1:] or list(VARIANTS)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", default=list(VARIANTS))
+    ap.add_argument("--bits", type=int, default=8)
+    args = ap.parse_args()
+    names = args.names or list(VARIANTS)
     trainers = {}
     for name in names:
-        print(f"building {name} ...", flush=True)
-        trainers[name] = build(VARIANTS[name])
+        print(f"building {name} (int{args.bits}) ...", flush=True)
+        trainers[name] = build(VARIANTS[name], bits=args.bits)
         print(f"  warmed {name}", flush=True)
 
     results = {n: [] for n in names}
