@@ -181,6 +181,74 @@ def _engine_drill(process_id: int, num_processes: int) -> None:
         print(f"engine drill [quantized 1d]: digest {got:.5f} == twin "
               f"{want:.5f}", flush=True)
 
+    # (d) RL through the engine across the process boundary (round 5):
+    # packed fast-width QNet tables, both networks' lookups on the
+    # all-to-all, target sync shard-wise — digest vs the single-process
+    # packed SparseRLTrainer twin
+    from pytorchrec_tpu.models.rl import DQNQNet, ValueRLModel
+    from pytorchrec_tpu.training import ShardedSparseRLTrainer, SparseRLTrainer
+
+    S_RL, N_RL, V_RL = 4, 3, 8 * n_global
+
+    def mk_rl():
+        col = CategoricalColumnWithIdentity
+        return ValueRLModel(
+            qnet=DQNQNet(
+                iid_column=col(feature_name="iid", category_num=V_RL),
+                state_column=col(feature_name="state", category_num=V_RL),
+                state_len_column=col(feature_name="state_len",
+                                     category_num=S_RL + 1),
+                next_state_column=col(feature_name="next_state",
+                                      category_num=V_RL),
+                next_state_len_column=col(feature_name="next_state_len",
+                                          category_num=S_RL + 1),
+                rl_sample_column=col(feature_name="rl_sample",
+                                     category_num=V_RL),
+                emb_size=E, hidden_size=8, table_row_multiple=n_global),
+            reward_column=label)
+
+    def rl_batches(k):
+        out = []
+        for s in range(k):
+            rng = np.random.default_rng(300 + s)
+            out.append({
+                "iid": rng.integers(0, V_RL, size=B).astype(np.int32),
+                "state": rng.integers(1, V_RL,
+                                      size=(B, S_RL)).astype(np.int32),
+                "state_len": rng.integers(1, S_RL + 1,
+                                          size=B).astype(np.int32),
+                "next_state": rng.integers(
+                    1, V_RL, size=(B, S_RL)).astype(np.int32),
+                "next_state_len": rng.integers(
+                    1, S_RL + 1, size=B).astype(np.int32),
+                "rl_sample": rng.integers(
+                    0, V_RL, size=(B, N_RL)).astype(np.int32),
+                "label": rng.integers(0, 2, size=B).astype(np.int32),
+            })
+        return out
+
+    rt = ShardedSparseRLTrainer(mk_rl(), mesh=mesh, packed_tables=True)
+    rt.compile(optimizer="adam", lr=0.05, loss="mse", metrics=())
+    rt.init_state(rl_batches(1)[0], seed=0)
+    for batch in rl_batches(3):
+        out = rt._train_step(to_device(batch))
+        loss = out[1] if isinstance(out, tuple) else out
+    assert np.isfinite(float(loss))
+
+    rw = SparseRLTrainer(mk_rl(), packed_tables=True)
+    rw.compile(optimizer="adam", lr=0.05, loss="mse", metrics=())
+    rw.init_state(rl_batches(1)[0], seed=0)
+    for batch in rl_batches(3):
+        rw._train_step(batch)
+
+    got = float(table_digest(rt.state.params["i_embedding"]["embedding"]))
+    want = float(table_digest(
+        jnp.asarray(rw.state.params["i_embedding"]["embedding"])))
+    assert abs(got - want) <= 1e-3 * max(1.0, abs(want)), (got, want)
+    if process_id == 0:
+        print(f"engine drill [RL packed 1d]: digest {got:.5f} == twin "
+              f"{want:.5f}", flush=True)
+
 
 def worker(process_id: int, num_processes: int) -> None:
     devices_per_proc = int(os.environ.get("_MULTIHOST_DEVICES", "2"))

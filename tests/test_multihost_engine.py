@@ -27,4 +27,5 @@ def test_engine_survives_process_boundary():
     assert result.returncode == 0, (result.stdout[-3000:],
                                     result.stderr[-3000:])
     assert "engine drill [quantized 1d]" in result.stdout, result.stdout
+    assert "engine drill [RL packed 1d]" in result.stdout, result.stdout
     assert "all workers exited cleanly" in result.stdout
