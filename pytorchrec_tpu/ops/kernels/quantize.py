@@ -136,6 +136,131 @@ def quantize_rows_pallas(rows: jnp.ndarray, rng_bits: jnp.ndarray,
     return q[:n], scale[:n, 0]
 
 
+def _mix_u32(x):
+    """triple32-style finalizer — EXACTLY id_keyed_rounding_bits' mix."""
+    x = x ^ (x >> jnp.uint32(17))
+    x = x * jnp.uint32(0xED5AD4BB)
+    x = x ^ (x >> jnp.uint32(11))
+    x = x * jnp.uint32(0xAC4C1B51)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x31848BAB)
+    x = x ^ (x >> jnp.uint32(14))
+    return x
+
+
+def _requantize_kernel(e_const, lr, eps, moved_ref, g_ref, ids_ref,
+                       salt_ref, out_ref):
+    """One VMEM pass per [R, W] block: dequantize q||scale||acc bytes,
+    rowwise-Adagrad, id-keyed stochastic requantize, byte reassembly.
+    All arrays stay full-width [R, W] (128 u8 lanes) — no narrow slices,
+    no reshapes (Mosaic layout rules)."""
+    b = moved_ref[:].astype(jnp.int32)             # [R, W]
+    r, w = b.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+    e = e_const
+    qmask = lane < e
+
+    # q bytes (lanes [0, e)) -> signed f32 values
+    q_old = jnp.where(b > 127, b - 256, b).astype(jnp.float32)
+
+    # scale/acc: 4 bytes each at [e, e+4) / [e+4, e+8) -> word -> f32.
+    # Assembly runs in INT32 (Mosaic has no unsigned reductions); wrapping
+    # preserves the bit pattern and the bitcast only needs the bits.
+    sh = jnp.where((lane >= e) & (lane < e + 4), (lane - e) * 8, 0)
+    s_i32 = jnp.sum(jnp.where((lane >= e) & (lane < e + 4), b << sh, 0),
+                    axis=-1, keepdims=True)  # [R, 1]
+    sh2 = jnp.where((lane >= e + 4) & (lane < e + 8), (lane - e - 4) * 8, 0)
+    a_i32 = jnp.sum(jnp.where((lane >= e + 4) & (lane < e + 8), b << sh2, 0),
+                    axis=-1, keepdims=True)
+    scale_old = jax.lax.bitcast_convert_type(s_i32, jnp.float32)  # [R, 1]
+    acc_old = jax.lax.bitcast_convert_type(a_i32, jnp.float32)
+
+    g = g_ref[:]                                    # [R, W] (zeros past e)
+    current = jnp.where(qmask, q_old * scale_old, 0.0)
+    acc_new = acc_old + jnp.sum(
+        jnp.where(qmask, jnp.square(g), 0.0), axis=-1, keepdims=True) / e
+    new_rows = current - lr * g / (jnp.sqrt(acc_new) + eps)
+
+    # id-keyed rounding bits (identical to id_keyed_rounding_bits)
+    idv = ids_ref[:].astype(jnp.uint32)             # [R, 1]
+    x = idv * jnp.uint32(0x9E3779B1)
+    x = x + lane.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    x = x ^ salt_ref[0].astype(jnp.uint32)
+    bits = _mix_u32(x)
+    # u32 -> f32 casts are unsupported in Mosaic; the 24-bit value fits
+    # int32 exactly, so hop through it
+    u = (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) \
+        * (1.0 / (1 << 24))
+
+    absmax = jnp.max(jnp.where(qmask, jnp.abs(new_rows), 0.0),
+                     axis=-1, keepdims=True)
+    scale_new = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    qn = jnp.clip(jnp.floor(new_rows / scale_new + u), -127, 127)
+    qn = qn.astype(jnp.int32)
+    qn_byte = jnp.where(qn < 0, qn + 256, qn)
+
+    # byte extraction in int32: arithmetic shift may sign-extend, the
+    # & 0xFF mask recovers the exact byte either way
+    sn_i32 = jax.lax.bitcast_convert_type(scale_new, jnp.int32)  # [R, 1]
+    an_i32 = jax.lax.bitcast_convert_type(acc_new, jnp.int32)
+    s_bytes = (sn_i32 >> sh) & 0xFF
+    a_bytes = (an_i32 >> sh2) & 0xFF
+    out = jnp.where(qmask, qn_byte,
+                    jnp.where((lane >= e) & (lane < e + 4), s_bytes,
+                              jnp.where((lane >= e + 4) & (lane < e + 8),
+                                        a_bytes, 0)))
+    out_ref[:] = out.astype(jnp.uint8)
+
+
+def requantize_rows_pallas(moved: jnp.ndarray, g: jnp.ndarray,
+                           ids: jnp.ndarray, salt: jnp.ndarray, lr: float,
+                           e: int, eps: float = 1e-6,
+                           block_rows: int = 1024,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Fused rowwise-Adagrad + stochastic requantize over permuted packed
+    byte rows: [n, W] u8 ``moved`` (q||scale||acc||...) + [n, e] f32
+    summed grads -> [n, W] u8 replacement rows. Bit-identical math to the
+    XLA chain in ops/quantized_packed.py::packed_quantized_update
+    (bits=8, col_groups=1). One HBM read of moved+g, one write of out —
+    replaces the dequant/hash/quantize/byte-assembly fusions AND their
+    layout-flip copies with a single custom call (VERDICT r4 #2's named
+    remaining lever; A/B in scripts/int8_plumbing_ab.py 'kernel').
+    """
+    import functools
+
+    n, w = moved.shape
+    assert g.shape == (n, e), (g.shape, n, e)
+    g_full = jnp.pad(g, ((0, 0), (0, w - e)))
+    ids2 = ids.astype(jnp.int32)[:, None]
+    salt_arr = jnp.asarray(salt, jnp.uint32).reshape(1)
+    pad = (-n) % block_rows
+    if pad:
+        moved = jnp.pad(moved, ((0, pad), (0, 0)))
+        g_full = jnp.pad(g_full, ((0, pad), (0, 0)))
+        ids2 = jnp.pad(ids2, ((0, pad), (0, 0)))
+    np_rows = moved.shape[0]
+    space = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        functools.partial(_requantize_kernel, e, float(lr), float(eps)),
+        grid=(np_rows // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=space),
+            pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                         memory_space=space),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                         memory_space=space),
+            pl.BlockSpec(memory_space=pltpu.SMEM if not interpret
+                         else pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((block_rows, w), lambda i: (i, 0),
+                               memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((np_rows, w), jnp.uint8),
+        interpret=interpret,
+    )(moved, g_full, ids2, salt_arr)
+    return out[:n]
+
+
 def id_keyed_rounding_bits(ids: jnp.ndarray, e: int,
                            salt: jnp.ndarray) -> jnp.ndarray:
     """Deterministic stochastic-rounding bits keyed by (row id, column, salt).

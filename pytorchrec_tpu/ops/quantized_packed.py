@@ -248,8 +248,8 @@ def packed_quantized_update(
         if variant == "dus":
             staged = jax.lax.dynamic_update_slice(
                 rows, _f32_to_bytes(dvec), (0, base))
-        elif variant == "select":
-            col = jnp.arange(w, dtype=jnp.int32)[None, :]
+        elif variant in ("select", "kernel"):  # kernel keeps the winning
+            col = jnp.arange(w, dtype=jnp.int32)[None, :]  # select staging
             staged = jnp.where(col < base, rows,
                                _place(_f32_to_bytes(dvec), base))
         else:
@@ -274,6 +274,24 @@ def packed_quantized_update(
     current = dequantize_rows(
         q_old, scale_old[:, 0] if col_groups == 1 else scale_old,
         bits=bits, col_groups=col_groups)
+
+    if variant == "kernel" and bits == 8 and col_groups == 1 \
+            and rng_salt is not None:
+        # fused Pallas requantize (ops/kernels/quantize.py::
+        # requantize_rows_pallas): one custom call replaces the
+        # dequant/hash/quantize/byte-assembly fusions; the scatter below
+        # consumes its materialized output
+        from pytorchrec_tpu.ops.kernels import use_pallas_default
+        from pytorchrec_tpu.ops.kernels.quantize import requantize_rows_pallas
+
+        out = requantize_rows_pallas(
+            moved, g, sorted_ids + ids_offset, rng_salt, lr, e, eps=eps,
+            interpret=not use_pallas_default())
+        slot = jnp.arange(n)
+        safe_ids = jnp.where(is_last, sorted_ids,
+                             packed.shape[0] + slot).astype(jnp.int32)
+        return packed.at[safe_ids].set(out, mode="drop",
+                                       unique_indices=True)
 
     acc_new = acc_old + jnp.mean(jnp.square(g), axis=-1)
     new_rows = current - lr * g / (jnp.sqrt(acc_new)[:, None] + eps)

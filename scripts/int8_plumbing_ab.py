@@ -27,7 +27,7 @@ sys.path.insert(0, "/root/repo")
 N_DENSE, N_SPARSE, VOCAB, EMB, BATCH = 13, 26, 100_000, 16, 32768
 STEPS, ROUNDS = 20, 3
 VARIANTS = {"base": "base", "dus": "dus", "sortgrad": "sortgrad",
-            "select": "select"}
+            "select": "select", "kernel": "kernel"}
 
 
 def make_host_batch(rng):

@@ -557,3 +557,41 @@ def test_packed_flag_mismatch_is_an_error():
     t.compile(optimizer="adam", lr=0.05, loss="bce", metrics=("auc",))
     with pytest.raises(AssertionError):
         t.init_state(batch, seed=0)
+
+
+def test_requantize_kernel_variant_parity(monkeypatch):
+    """PYTORCHREC_TPU_QPACK_VARIANT=kernel (the measured-negative Pallas
+    requantize, RESULTS.md round 5): interpret-mode q bytes are
+    BIT-identical to the XLA chain; scale/acc within 1 ulp (reduce-tree
+    order differs across shapes, by construction)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from pytorchrec_tpu.ops.kernels.quantize import quantize_rows_xla
+    from pytorchrec_tpu.ops.quantized_packed import (
+        pack_quantized_table,
+        packed_quantized_update,
+        unpack_quantized_table,
+    )
+
+    rng = np.random.default_rng(0)
+    V, E, n = 300, 16, 200
+    rows_f = rng.normal(size=(V, E)).astype(np.float32) * 0.01
+    q, s = quantize_rows_xla(jnp.asarray(rows_f))
+    packed = pack_quantized_table(q, s, jnp.zeros((V,), jnp.float32), E)
+    ids = jnp.asarray(rng.integers(0, V, size=n).astype(np.int32))
+    dvec = jnp.asarray(rng.normal(size=(n, E)).astype(np.float32))
+
+    def run(variant):
+        monkeypatch.setenv("PYTORCHREC_TPU_QPACK_VARIANT", variant)
+        out = packed_quantized_update(packed, packed[ids], ids, dvec, None,
+                                      0.01, rng_salt=jnp.uint32(99),
+                                      ids_offset=11)
+        return unpack_quantized_table(np.asarray(out), E)
+
+    qb, sb, ab = run("base")
+    qk, sk, ak = run("kernel")
+    np.testing.assert_array_equal(np.asarray(qb), np.asarray(qk))
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(sk), rtol=3e-7)
+    np.testing.assert_allclose(np.asarray(ab), np.asarray(ak), rtol=3e-7)
