@@ -596,10 +596,11 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
       through the target keys — nothing routes back (stop_gradient,
       reference DQN.py:97-100); the periodic sync copies shard to shard.
 
-    Scope: strategy = "1d" row sharding or "grid" (round 5 — the
-    flattened (data, model) grid with one unique owner per row: d-fold
-    less table HBM per device, backward applies each row's update once
-    locally with no data-axis all_gather); f32 classic, f32 PACKED
+    Scope: strategy = "1d" row sharding, "grid" (round 5 — the flattened
+    (data, model) grid with one unique owner per row: d-fold less table
+    HBM per device, backward applies each row's update once locally with
+    no data-axis all_gather), or "hot_cold" (round 5 — frequency-aware
+    fragments for BOTH networks, f32 classic/packed); f32 classic, f32 PACKED
     fast-width rows (``packed_tables=True`` — the [V, W] table‖m‖v leaf
     row-shards over ``model``, lookups slice to E via ``out_cols`` before
     the return hop exactly like the embedding trainer's path 5, so ICI
@@ -615,7 +616,8 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
     def __init__(self, model: ValueRLModel, mesh=None,
                  table_optimizer: str = "adam", table_lr: float = None,
                  exchange_capacity=None, packed_tables: bool = False,
-                 packed_min_width: int = 64, strategy: str = "1d"):
+                 packed_min_width: int = 64, strategy: str = "1d",
+                 hot_counts=None, hot_rows=0.9):
         from pytorchrec_tpu.parallel import DATA_AXIS, MODEL_AXIS
 
         assert mesh is not None, "ShardedSparseRLTrainer requires a mesh"
@@ -625,7 +627,15 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
         # the backward applies each update once locally (no data-axis
         # all_gather / replicated-update discipline). Composes with f32
         # classic, packed fast-width and quantized byte-row formats.
-        assert strategy in ("1d", "grid"), strategy
+        # "hot_cold" (round 5): frequency-aware placement for BOTH
+        # networks — each QNet table's hottest rows replicate on every
+        # device (local gather, zero exchange; replicated-discipline
+        # updates) and the cold tail row-shards over `model`; the TARGET
+        # net's fragments mirror the eval net's layout so the periodic
+        # sync stays a plain tree copy. f32 classic + packed formats
+        # (quantized RL stays 1d/grid — fragment-space rounding keys are
+        # the embedding trainer's concern, not re-derived here).
+        assert strategy in ("1d", "grid", "hot_cold"), strategy
         if strategy == "grid":
             assert (mesh.shape.get(MODEL_AXIS, 1)
                     * mesh.shape.get(DATA_AXIS, 1)) > 1
@@ -633,12 +643,18 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
             assert mesh.shape.get(MODEL_AXIS, 1) > 1, (
                 f"mesh needs a model axis > 1, got {dict(mesh.shape)} "
                 "(use SparseRLTrainer for single-shard tables)")
+        if strategy == "hot_cold":
+            assert hot_counts, (
+                "strategy='hot_cold' needs hot_counts={spec_name: counts}")
         assert hasattr(model, "sharded_target_specs"), type(model).__name__
         super().__init__(model, mesh=mesh, table_optimizer=table_optimizer,
                          table_lr=table_lr, packed_tables=packed_tables,
                          packed_min_width=packed_min_width)
         self.strategy = strategy
         self.exchange_capacity = exchange_capacity
+        self._hot_counts = dict(hot_counts or {})
+        self._hot_budget = hot_rows
+        self._hot_layouts = {}
 
     def _n_table_shards(self):
         from pytorchrec_tpu.parallel import DATA_AXIS, MODEL_AXIS
@@ -657,9 +673,50 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
         # so the step can substitute DCE'd dummies (rows are injected)
         self._q_full_shapes = {path: tuple(flat[path].shape)
                                for path in self._q_info}
-        for path in self._table_paths:
-            assert flat[path].shape[0] % n == 0, (
-                f"{path}: {flat[path].shape[0]} rows do not divide the "
+        if self.strategy == "hot_cold":
+            import optax
+
+            from pytorchrec_tpu.training.sharded_sparse_trainer import (
+                resolve_hot_layouts,
+                split_hot_cold,
+            )
+
+            assert not self._q_info, (
+                "RL hot_cold covers f32 classic/packed tables; quantized "
+                "RL rides 1d/grid")
+            flat = dict(flat)
+            resolve_hot_layouts(self.model, self.mesh, sample_batch, flat,
+                                self._hot_counts, self._hot_budget,
+                                self._table_paths, self._hot_layouts)
+            moments = dict(state.table_moments)
+            flat, moments = split_hot_cold(
+                flat, moments, self._hot_layouts, self.packed_tables,
+                self.table_optimizer)
+            # the TARGET net's fragments mirror the eval net's layout
+            # (identical split of the identical init copy)
+            tflat, _ = split_hot_cold(
+                dict(traverse_util.flatten_dict(state.target_params,
+                                                sep="/")),
+                {}, self._hot_layouts, self.packed_tables,
+                self.table_optimizer)
+            params = traverse_util.unflatten_dict(flat, sep="/")
+            mask = traverse_util.unflatten_dict(
+                {k: k not in self._table_paths
+                 and not k.startswith("hot_tables/") for k in flat},
+                sep="/")
+            self._dense_tx = optax.masked(self.tx, mask)
+            state = state.replace(
+                params=params,
+                target_params=traverse_util.unflatten_dict(tflat, sep="/"),
+                opt_state=self._dense_tx.init(params),
+                table_moments=moments,
+            )
+            flat_check = {p: flat[p] for p in self._table_paths}
+        else:
+            flat_check = {p: flat[p] for p in self._table_paths}
+        for path, leaf in flat_check.items():
+            assert leaf.shape[0] % n == 0, (
+                f"{path}: {leaf.shape[0]} rows do not divide the "
                 f"{n} table shards — set table_row_multiple on the model")
         return state
 
@@ -684,6 +741,10 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
             # 'i_embedding/embedding_proj') must not be row-sharded
             # (ADVICE r4).
             bounded = "/" + joined + "/"
+            # hot/cold: hot fragments + their moments replicate everywhere
+            if "/hot_tables/" in bounded or \
+                    joined.rsplit("/", 1)[-1].startswith("hot_"):
+                return PartitionSpec()
             if any(("/" + tp + "/") in bounded for tp in table_paths):
                 ndim = getattr(leaf, "ndim", 1)
                 return PartitionSpec(row_axes, *([None] * (ndim - 1)))
@@ -762,6 +823,8 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
 
         grid = self.strategy == "grid"
         table_axes = (DATA_AXIS, MODEL_AXIS)
+        hot_layouts = dict(self._hot_layouts)
+        hot_perms = {p: jnp.asarray(lo.perm) for p, lo in hot_layouts.items()}
 
         def _lookup(shard, ids, oc):
             if grid:
@@ -769,6 +832,95 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
                                    out_cols=oc)
             return all_to_all_lookup(shard, ids, MODEL_AXIS, capacity=cap,
                                      out_cols=oc)
+
+        def _resolve(flat_tree, path, ids, oc):
+            """(rows, hot_aux) — hot ids resolve from the replicated
+            fragment (no exchange), the cold tail rides the all-to-all;
+            non-hot_cold tables pass straight through the engine."""
+            layout = hot_layouts.get(path)
+            shard = jax.lax.stop_gradient(flat_tree[path])
+            if layout is None:
+                return _model_rows(path, _lookup(shard, ids, oc)), None
+            h = layout.hot_rows
+            packed_ids = hot_perms[path][ids]
+            is_hot = packed_ids < h
+            hot = jax.lax.stop_gradient(flat_tree["hot_tables/" + path])
+            hot_vec = hot[jnp.clip(packed_ids, 0, h - 1)]
+            if oc is not None:
+                hot_vec = hot_vec[:, :oc]
+            cold_ids = jnp.where(is_hot, 0, packed_ids - h)
+            cold_vec = all_to_all_lookup(shard, cold_ids, MODEL_AXIS,
+                                         capacity=cap, out_cols=oc)
+            rows = jnp.where(is_hot[:, None], hot_vec, cold_vec)
+            return _model_rows(path, rows), (packed_ids, is_hot)
+
+        def _hot_cold_backward(flat, moments, path, aux, g_occ,
+                               rows_per_shard, step):
+            """Fragment backward (the embedding trainer's hot branch,
+            applied to the eval net): cold grads route through the
+            all-to-all, hot grads take replicated-discipline updates;
+            sentinels drop at each fragment's scatter."""
+            layout = hot_layouts[path]
+            h = layout.hot_rows
+            packed_ids, is_hot = aux
+            hot_key = "hot_tables/" + path
+            m_axis = mesh.shape[MODEL_AXIS]
+            cold_sent = jnp.asarray(m_axis * rows_per_shard,
+                                    packed_ids.dtype)
+            cold_gids = jnp.where(is_hot, cold_sent, packed_ids - h)
+            r_ids, r_rows = all_to_all_rowgrad(
+                cold_gids, g_occ, rows_per_shard, MODEL_AXIS, capacity=cap)
+            if use_packed:
+                c_ids = jax.lax.all_gather(r_ids, DATA_AXIS, tiled=True)
+                c_rows = jax.lax.all_gather(r_rows, DATA_AXIS, tiled=True)
+                c_offset = jax.lax.axis_index(MODEL_AXIS) * rows_per_shard
+                c_local = (c_ids - c_offset).astype(jnp.int32)
+                cold_now = jax.lax.stop_gradient(flat[path])[c_local]
+                hot_gids = jnp.where(is_hot, packed_ids,
+                                     jnp.asarray(h, packed_ids.dtype))
+                h_ids = jax.lax.all_gather(
+                    hot_gids, DATA_AXIS, tiled=True).astype(jnp.int32)
+                h_rows = jax.lax.all_gather(g_occ, DATA_AXIS, tiled=True)
+                hot_now = jax.lax.stop_gradient(flat[hot_key])[h_ids]
+                flat[path] = packed_sparse_update(
+                    flat[path], cold_now, c_local, c_rows, step,
+                    lr=table_lr, optimizer=table_optimizer)
+                flat[hot_key] = packed_sparse_update(
+                    flat[hot_key], hot_now, h_ids, h_rows, step,
+                    lr=table_lr, optimizer=table_optimizer)
+                return flat, moments
+            g = dedup_row_grads(r_ids, r_rows)
+            all_ids = jax.lax.all_gather(g.ids, DATA_AXIS, tiled=True)
+            all_rows = jax.lax.all_gather(g.rows, DATA_AXIS, tiled=True)
+            local_ids = (all_ids - jax.lax.axis_index(MODEL_AXIS)
+                         * rows_per_shard).astype(jnp.int32)
+            hot_gids = jnp.where(is_hot, packed_ids,
+                                 jnp.asarray(h, packed_ids.dtype))
+            gh = dedup_row_grads(hot_gids, g_occ, pad_id_base=h)
+            h_ids = jax.lax.all_gather(
+                gh.ids, DATA_AXIS, tiled=True).astype(jnp.int32)
+            h_rows = jax.lax.all_gather(gh.rows, DATA_AXIS, tiled=True)
+            if table_optimizer == "adam":
+                cold_t, cm, cv = sparse_lazy_adam(
+                    flat[path], moments[path]["m"], moments[path]["v"],
+                    local_ids, all_rows, step, lr=table_lr)
+                hot_t, hm, hv = sparse_lazy_adam(
+                    flat[hot_key], moments[path]["hot_m"],
+                    moments[path]["hot_v"], h_ids, h_rows, step,
+                    lr=table_lr)
+                flat[path], flat[hot_key] = cold_t, hot_t
+                moments[path] = {"m": cm, "v": cv, "hot_m": hm, "hot_v": hv}
+            else:
+                upd = (sparse_rowwise_adagrad
+                       if table_optimizer == "rowwise_adagrad"
+                       else sparse_adagrad)
+                cold_t, cacc = upd(flat[path], moments[path]["acc"],
+                                   local_ids, all_rows, lr=table_lr)
+                hot_t, hacc = upd(flat[hot_key], moments[path]["hot_acc"],
+                                  h_ids, h_rows, lr=table_lr)
+                flat[path], flat[hot_key] = cold_t, hot_t
+                moments[path] = {"acc": cacc, "hot_acc": hacc}
+            return flat, moments
 
         def step_body(state, batch):
             didx = jax.lax.axis_index(DATA_AXIS)
@@ -786,21 +938,22 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
                 for spec in model.sharded_target_specs(batch).values()
                 if spec["path"] in table_paths
             }
-            ids_map, rows_in, trows_in = {}, {}, {}
+            ids_map, rows_in, trows_in, hot_aux = {}, {}, {}, {}
             for path, spec in specs.items():
                 ids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
                 ids_map[path] = ids
-                rows_in[path] = _model_rows(path, _lookup(
-                    jax.lax.stop_gradient(flat_p[path]), ids,
-                    _out_cols(path)))
+                rows_in[path], aux = _resolve(flat_p, path, ids,
+                                              _out_cols(path))
+                if aux is not None:
+                    hot_aux[path] = aux
             for path, spec in tspecs.items():
                 tids = jnp.asarray(spec["ids"]).reshape(-1).astype(jnp.int32)
-                trows_in[path] = _model_rows(path, _lookup(
-                    jax.lax.stop_gradient(flat_t[path]), tids,
-                    _out_cols(path)))
+                trows_in[path], _ = _resolve(flat_t, path, tids,
+                                             _out_cols(path))
 
             dense_flat = {k: v for k, v in flat_p.items()
-                          if k not in table_paths}
+                          if k not in table_paths
+                          and not k.startswith("hot_tables/")}
 
             def compute_loss(dense_params, rows):
                 full = _with_q_dummies(flat_p)
@@ -824,9 +977,11 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
 
             loss = jax.lax.pmean(loss, DATA_AXIS)
             dense_grads_flat = jax.lax.pmean(dense_grads_flat, DATA_AXIS)
+            nondiff = {k for k in flat_p
+                       if k in table_paths or k.startswith("hot_tables/")}
             dense_grads = _unflat({
                 **dense_grads_flat,
-                **{k: jnp.zeros_like(flat_p[k]) for k in table_paths},
+                **{k: jnp.zeros_like(flat_p[k]) for k in nondiff},
             })
             updates, opt_state = dense_tx.update(
                 dense_grads, state.opt_state, state.params)
@@ -835,7 +990,7 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
             # in-place aliasing with the donated state)
             flat_u = _flat(updates)
             flat = {
-                k: (flat_p[k] if (use_packed and k in table_paths)
+                k: (flat_p[k] if (use_packed and k in nondiff)
                     else flat_p[k] + flat_u[k])
                 for k in flat_p
             }
@@ -846,6 +1001,11 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
                 shard = flat[path]
                 rows_per_shard = shard.shape[0]
                 g_occ = row_grads[path] * inv_data
+                if path in hot_aux:
+                    flat, moments = _hot_cold_backward(
+                        flat, moments, path, hot_aux[path], g_occ,
+                        rows_per_shard, step)
+                    continue
                 if use_packed and path not in q_info:
                     # ONE packed_sparse_update per shard (the internal
                     # sort/scan dedups; exchange sentinels map >= V/m and
@@ -947,6 +1107,34 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
     def _jit_train_step(self, train_step):
         return jax.jit(self._with_precision(train_step), donate_argnums=0)
 
+    def merged_params(self, tree="params"):
+        """Host copy of ``state.params`` (or ``target_params``) with every
+        hot/cold fragment merged back to its original [V, E] row order and
+        packed [V, W] leaves unpacked — the embedding trainer's
+        ``merged_params`` contract for RL (export / cross-layout parity)."""
+        from pytorchrec_tpu.ops.sparse_update import unpack_table
+        from pytorchrec_tpu.parallel.hot_cold import merge_table
+
+        params = jax.device_get(getattr(self.state, tree))
+        flat = dict(traverse_util.flatten_dict(params, sep="/"))
+        emb_dims = dict(getattr(self, "_table_emb_dims", {}) or {})
+        for path, layout in self._hot_layouts.items():
+            hot = flat.pop("hot_tables/" + path)
+            cold = flat[path]
+            if self.packed_tables and path not in self._q_info:
+                e = emb_dims[path]
+                hot = unpack_table(jnp.asarray(hot), e)
+                cold = unpack_table(jnp.asarray(cold), e)
+            flat[path] = merge_table(hot, cold, layout)
+        if self.packed_tables:
+            for path in self._table_paths:
+                if path not in self._hot_layouts and path not in self._q_info:
+                    flat[path] = unpack_table(jnp.asarray(flat[path]),
+                                              emb_dims[path])
+        merged = traverse_util.unflatten_dict(flat, sep="/")
+        merged.pop("hot_tables", None)
+        return merged
+
     def _build_eval_step(self):
         from jax.sharding import PartitionSpec
 
@@ -968,6 +1156,8 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
         mesh, cap = self.mesh, self.exchange_capacity
         emb_dims = (dict(self._table_emb_dims) if self.packed_tables else {})
         grid = self.strategy == "grid"
+        hot_layouts = dict(self._hot_layouts)
+        hot_perms = {p: jnp.asarray(lo.perm) for p, lo in hot_layouts.items()}
         _flat = lambda t: traverse_util.flatten_dict(t, sep="/")
         _unflat = lambda f: traverse_util.unflatten_dict(f, sep="/")
 
@@ -984,7 +1174,20 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
                     i = q_info[path]
                     oc = (q_row_bytes(i["emb_size"], i["bits"])
                           + 4 * i["col_groups"])
-                if grid:
+                layout = hot_layouts.get(path)
+                if layout is not None:
+                    h = layout.hot_rows
+                    packed_ids = hot_perms[path][ids]
+                    is_hot = packed_ids < h
+                    hot_vec = flat_p["hot_tables/" + path][
+                        jnp.clip(packed_ids, 0, h - 1)]
+                    if oc is not None:
+                        hot_vec = hot_vec[:, :oc]
+                    cold_vec = all_to_all_lookup(
+                        flat_p[path], jnp.where(is_hot, 0, packed_ids - h),
+                        MODEL_AXIS, capacity=cap, out_cols=oc)
+                    raw = jnp.where(is_hot[:, None], hot_vec, cold_vec)
+                elif grid:
                     raw = grid_lookup(flat_p[path], ids,
                                       (DATA_AXIS, MODEL_AXIS),
                                       capacity=cap, out_cols=oc)

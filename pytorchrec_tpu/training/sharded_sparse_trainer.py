@@ -74,6 +74,76 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
 
 
+def resolve_hot_layouts(model, mesh, sample_batch, flat_params, hot_counts,
+                        hot_budget, table_paths, out_layouts) -> None:
+    """Build per-table HotColdLayout from ``hot_counts`` into
+    ``out_layouts`` (static numpy; idempotent — also runs under
+    ``jax.eval_shape`` tracing, where only leaf SHAPES are read). Shared
+    by the embedding and RL sharded trainers."""
+    import numpy as np
+
+    from pytorchrec_tpu.parallel.hot_cold import build_layout
+
+    if out_layouts:
+        return
+    m = mesh.shape[MODEL_AXIS]
+    specs = model.sharded_table_specs(sample_batch)
+    for name, spec in specs.items():
+        path = spec["path"]
+        if name not in hot_counts or path not in table_paths:
+            continue
+        v = flat_params[path].shape[0]  # leaf rows (possibly padded)
+        counts = np.asarray(hot_counts[name], np.float64)
+        assert len(counts) <= v, (name, len(counts), v)
+        if len(counts) < v:  # leaf padding rows are coldest
+            counts = np.concatenate([counts, np.full(v - len(counts), -1.0)])
+        if isinstance(hot_budget, float) and 0 < hot_budget < 1:
+            ranked = np.sort(np.maximum(counts, 0))[::-1]
+            total = ranked.sum()
+            h = (int(np.searchsorted(np.cumsum(ranked),
+                                     hot_budget * total) + 1)
+                 if total > 0 else 0)
+        else:
+            h = int(hot_budget)
+        # keep >= m cold rows so every model shard owns a slice
+        h = max(1, min(h, v - m))
+        out_layouts[path] = build_layout(counts, h, pad_cold_to_multiple=m)
+
+
+def split_hot_cold(flat, moments, layouts, packed_tables, table_optimizer):
+    """Replace each hot/cold table leaf [V, E] with its cold fragment
+    (row-sharded) and add the replicated hot fragment under
+    ``hot_tables/<path>``; moments follow the fragments."""
+    for path, layout in layouts.items():
+        leaf = flat[path]
+        e = leaf.shape[-1]
+        h, c = layout.hot_rows, layout.cold_rows
+        packed = jnp.take(leaf, jnp.asarray(layout.inverse), axis=0)
+        pad = c - (len(layout.perm) - h)
+        cold = packed[h:]
+        if pad:
+            cold = jnp.concatenate(
+                [cold, jnp.zeros((pad, e), leaf.dtype)])
+        flat[path] = cold
+        flat["hot_tables/" + path] = packed[:h]
+        if packed_tables:
+            # fragments of a packed [V, W] leaf carry their moments (and
+            # grad staging) inside the rows; the row permute/split above
+            # moved them along (all zero at init)
+            moments[path] = {}
+            continue
+        zc = jnp.zeros((c, e), leaf.dtype)
+        zh = jnp.zeros((h, e), leaf.dtype)
+        if table_optimizer == "adam":
+            moments[path] = {"m": zc, "v": zc, "hot_m": zh, "hot_v": zh}
+        elif table_optimizer == "rowwise_adagrad":
+            moments[path] = {"acc": jnp.zeros((c,), leaf.dtype),
+                             "hot_acc": jnp.zeros((h,), leaf.dtype)}
+        else:
+            moments[path] = {"acc": zc, "hot_acc": zh}
+    return flat, moments
+
+
 class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
     """SparseEmbeddingTrainer whose multi-chip path routes lookups and row
     gradients through the explicit all-to-all engine inside one shard_map.
@@ -196,68 +266,17 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
         """Build per-table HotColdLayout from ``hot_counts`` (static numpy;
         idempotent — also runs under ``jax.eval_shape`` tracing, where only
         leaf SHAPES are read)."""
-        import numpy as np
-
-        from pytorchrec_tpu.parallel.hot_cold import build_layout
-
-        if self._hot_layouts:
-            return
-        m = self.mesh.shape[MODEL_AXIS]
-        specs = self.model.sharded_table_specs(sample_batch)
-        for name, spec in specs.items():
-            path = spec["path"]
-            if name not in self._hot_counts or path not in self._table_paths:
-                continue
-            v = flat_params[path].shape[0]  # leaf rows (possibly padded)
-            counts = np.asarray(self._hot_counts[name], np.float64)
-            assert len(counts) <= v, (name, len(counts), v)
-            if len(counts) < v:  # leaf padding rows are coldest
-                counts = np.concatenate([counts, np.full(v - len(counts), -1.0)])
-            budget = self._hot_budget
-            if isinstance(budget, float) and 0 < budget < 1:
-                ranked = np.sort(np.maximum(counts, 0))[::-1]
-                total = ranked.sum()
-                h = (int(np.searchsorted(np.cumsum(ranked), budget * total) + 1)
-                     if total > 0 else 0)
-            else:
-                h = int(budget)
-            # keep >= m cold rows so every model shard owns a slice
-            h = max(1, min(h, v - m))
-            self._hot_layouts[path] = build_layout(
-                counts, h, pad_cold_to_multiple=m)
+        resolve_hot_layouts(
+            self.model, self.mesh, sample_batch, flat_params,
+            self._hot_counts, self._hot_budget, self._table_paths,
+            self._hot_layouts)
 
     def _split_hot_cold(self, flat, moments):
         """Replace each hot/cold table leaf [V, E] with its cold fragment
         (row-sharded) and add the replicated hot fragment under
         ``hot_tables/<path>``; moments follow the fragments."""
-        for path, layout in self._hot_layouts.items():
-            leaf = flat[path]
-            e = leaf.shape[-1]
-            h, c = layout.hot_rows, layout.cold_rows
-            packed = jnp.take(leaf, jnp.asarray(layout.inverse), axis=0)
-            pad = c - (len(layout.perm) - h)
-            cold = packed[h:]
-            if pad:
-                cold = jnp.concatenate(
-                    [cold, jnp.zeros((pad, e), leaf.dtype)])
-            flat[path] = cold
-            flat["hot_tables/" + path] = packed[:h]
-            if self.packed_tables:
-                # fragments of a packed [V, W] leaf carry their moments (and
-                # grad staging) inside the rows; the row permute/split above
-                # moved them along (all zero at init)
-                moments[path] = {}
-                continue
-            zc = jnp.zeros((c, e), leaf.dtype)
-            zh = jnp.zeros((h, e), leaf.dtype)
-            if self.table_optimizer == "adam":
-                moments[path] = {"m": zc, "v": zc, "hot_m": zh, "hot_v": zh}
-            elif self.table_optimizer == "rowwise_adagrad":
-                moments[path] = {"acc": jnp.zeros((c,), leaf.dtype),
-                                 "hot_acc": jnp.zeros((h,), leaf.dtype)}
-            else:
-                moments[path] = {"acc": zc, "hot_acc": zh}
-        return flat, moments
+        return split_hot_cold(flat, moments, self._hot_layouts,
+                              self.packed_tables, self.table_optimizer)
 
     def _make_state(self, sample_batch, seed):
         state = super()._make_state(sample_batch, seed)

@@ -899,3 +899,62 @@ def test_sharded_packed_rl_trainer_matches_single_device(dataset_dir,
                                        err_msg=f"{tree}/{k}")
     pred, _ = sharded._eval_step(batch)
     assert np.isfinite(np.asarray(pred)).all()
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_sharded_rl_hot_cold_matches_single_device(dataset_dir, packed):
+    """RL x hot_cold (round 5 — the last strategy x family corner): BOTH
+    QNet networks resolve hot ids from replicated fragments and cold ids
+    through the all-to-all, the target net's fragments mirror the eval
+    net's layout (periodic sync stays a tree copy), and 5 steps on the
+    (data=4, model=2) mesh match the single-device SparseRLTrainer after
+    merged_params() restores [V, E] row order — classic AND packed."""
+    from pytorchrec_tpu.training import (
+        ShardedSparseRLTrainer,
+        SparseRLTrainer,
+    )
+
+    reader = _reader("dqn")
+    batch = _train_batch(reader)
+
+    def mk():
+        return build_model("dqn", reader, table_row_multiple=8,
+                           **SEQ_HPARAMS["dqn"])
+
+    # Zipf traffic counts over the item vocab (the hot_cold sizing input)
+    model0 = mk()
+    spec = model0.sharded_table_specs(batch)["i"]
+    v = int(np.asarray(spec["ids"]).max()) + 1
+    rng = np.random.default_rng(5)
+    counts = rng.permutation(
+        (1e4 / np.arange(1, v + 1) ** 1.1).astype(np.int64) + 1)
+
+    def run(cls, **kw):
+        t = cls(mk(), packed_tables=packed, **kw)
+        t.compile(optimizer="adam", lr=1e-2, loss="mse",
+                  metrics=("ndcg@5",), user_sample_n=10)
+        t.init_state(batch, seed=0)
+        for _ in range(5):
+            out = t._train_step(batch)
+            loss = float(out[1] if isinstance(out, tuple) else out)
+        return t, loss
+
+    single, ls = run(SparseRLTrainer)
+    sharded, lm = run(ShardedSparseRLTrainer, strategy="hot_cold",
+                      hot_counts={"i": counts}, hot_rows=16,
+                      mesh=make_mesh(data=4, model=2))
+    assert ls == pytest.approx(lm, abs=1e-4)
+
+    for tree in ("params", "target_params"):
+        sh = traverse_util.flatten_dict(sharded.merged_params(tree), sep="/")
+        si_raw = jax.device_get(getattr(single.state, tree))
+        si = traverse_util.flatten_dict(si_raw, sep="/")
+        E = SEQ_HPARAMS["dqn"]["emb_size"]
+        for k in si:
+            a, b = np.asarray(si[k]), np.asarray(sh[k])
+            if packed and k in single._table_paths:
+                a = a[:, :E]  # single-device packed leaf -> table view
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6,
+                                       err_msg=f"{tree}/{k}")
+    pred, _ = sharded._eval_step(batch)
+    assert np.isfinite(np.asarray(pred)).all()
