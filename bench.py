@@ -314,6 +314,24 @@ ROW_LATENCY_FLOOR_MS = {"f32-packed": 36.9, "int8-packed": 18.4}
 CONFIGS = ("int8-packed", "f32-packed")  # fastest first = headline
 
 
+def _device_reachable(timeout_s: int = 240) -> bool:
+    """Probe the TPU backend in a SUBPROCESS with a hard wall-clock kill.
+
+    The in-process watchdog (SIGALRM) cannot interrupt a backend-init hang
+    inside a blocking C call — observed 2026-08-21 when the axon tunnel
+    went down and ``jax.devices()`` hung >8 min. A dead tunnel must fall
+    back to the same-source cache, not hang the driver's bench run."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main():
     src = _src_hash()
     cache = _load_cache(src)
@@ -323,9 +341,17 @@ def main():
     # ratio; protects the reference stack from this host's transient load)
     baseline = max(baseline, cache.get("torch_value", 0.0))
 
+    device_ok = _device_reachable()
+    if not device_ok:
+        sys.stderr.write("bench: device backend unreachable (probe "
+                         "timeout) — falling back to same-source cache\n")
+
     per_config, errors = {}, {}
     for config in CONFIGS:
-        windows, error = _measure_with_watchdog(config)
+        if not device_ok:
+            windows, error = [], "device backend unreachable (init hang)"
+        else:
+            windows, error = _measure_with_watchdog(config)
         live_best = max(windows) if windows else 0.0
         live_median = float(np.median(windows)) if windows else 0.0
         best_known = max(live_best, cfg_cache.get(config, {}).get("value", 0.0))
@@ -341,17 +367,20 @@ def main():
         }
         if error:
             errors[config] = error
-        cfg_cache[config] = {"value": best_known}
+        if best_known > 0:  # a failed run must never stomp a prior value
+            cfg_cache[config] = {"value": best_known}
 
     cache.update({"configs": cfg_cache, "torch_value": baseline,
                   "src_hash": src,
                   # legacy field some docs referenced: overall best-known
-                  "value": max(c["value"] for c in cfg_cache.values())})
-    try:
-        with open(CACHE_PATH, "w") as f:
-            json.dump(cache, f)
-    except OSError:
-        pass
+                  "value": max((c["value"] for c in cfg_cache.values()),
+                               default=0.0)})
+    if cfg_cache:  # all-failed with empty cache: keep the file untouched
+        try:
+            with open(CACHE_PATH, "w") as f:
+                json.dump(cache, f)
+        except OSError:
+            pass
 
     # headline = the faster config's LIVE MEDIAN (best rides along)
     live = [(c, v) for c, v in per_config.items() if v["median"] > 0]
