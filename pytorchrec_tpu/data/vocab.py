@@ -148,8 +148,13 @@ class FrequencyVocab:
         """Bake the direct-map table: every in-range id resolves with ONE
         gather — admitted ids to their rank slot, everything else to its
         OOV bucket (identical hash to the fallback path), raw id 0 to
-        pad. Skipped when the observed id space is too large."""
+        pad. Skipped when the observed id space is too large, or when any
+        admitted id is NEGATIVE (legal raw ids, e.g. int64 hashes —
+        ``direct[negative]`` would wrap and corrupt the table; the
+        searchsorted fallback handles them exactly)."""
         self._direct = None
+        if self._admitted.size and int(self._admitted.min()) < 0:
+            return
         if 0 <= max_seen < self.DIRECT_MAP_LIMIT:
             span = np.arange(max_seen + 1, dtype=np.int64)
             direct = (_scramble(span) %

@@ -246,7 +246,8 @@ class MetricList:
                 "predictions — use their sliced forms (e.g. 'auc/0')")
 
     def __call__(self, prediction, target=None) -> Dict[str, float]:
-        self._check_slice_mixing(jnp.asarray(prediction))
+        # the guard only reads ndim/shape — no device round-trip needed
+        self._check_slice_mixing(np.asarray(prediction))
         logs: Dict[str, float] = {}
         pos_ranks = None
         for metric in self.metrics:

@@ -833,26 +833,22 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
             return all_to_all_lookup(shard, ids, MODEL_AXIS, capacity=cap,
                                      out_cols=oc)
 
+        from pytorchrec_tpu.training.sharded_sparse_trainer import (
+            hot_cold_fragment_lookup,
+        )
+
         def _resolve(flat_tree, path, ids, oc):
             """(rows, hot_aux) — hot ids resolve from the replicated
             fragment (no exchange), the cold tail rides the all-to-all;
             non-hot_cold tables pass straight through the engine."""
             layout = hot_layouts.get(path)
-            shard = jax.lax.stop_gradient(flat_tree[path])
             if layout is None:
+                shard = jax.lax.stop_gradient(flat_tree[path])
                 return _model_rows(path, _lookup(shard, ids, oc)), None
-            h = layout.hot_rows
-            packed_ids = hot_perms[path][ids]
-            is_hot = packed_ids < h
-            hot = jax.lax.stop_gradient(flat_tree["hot_tables/" + path])
-            hot_vec = hot[jnp.clip(packed_ids, 0, h - 1)]
-            if oc is not None:
-                hot_vec = hot_vec[:, :oc]
-            cold_ids = jnp.where(is_hot, 0, packed_ids - h)
-            cold_vec = all_to_all_lookup(shard, cold_ids, MODEL_AXIS,
-                                         capacity=cap, out_cols=oc)
-            rows = jnp.where(is_hot[:, None], hot_vec, cold_vec)
-            return _model_rows(path, rows), (packed_ids, is_hot)
+            raw, aux = hot_cold_fragment_lookup(
+                flat_tree, path, ids, layout, hot_perms[path], oc, cap,
+                stop_grad=True)
+            return _model_rows(path, raw), aux
 
         def _hot_cold_backward(flat, moments, path, aux, g_occ,
                                rows_per_shard, step):
@@ -1176,17 +1172,11 @@ class ShardedSparseRLTrainer(SparseRLTrainer):
                           + 4 * i["col_groups"])
                 layout = hot_layouts.get(path)
                 if layout is not None:
-                    h = layout.hot_rows
-                    packed_ids = hot_perms[path][ids]
-                    is_hot = packed_ids < h
-                    hot_vec = flat_p["hot_tables/" + path][
-                        jnp.clip(packed_ids, 0, h - 1)]
-                    if oc is not None:
-                        hot_vec = hot_vec[:, :oc]
-                    cold_vec = all_to_all_lookup(
-                        flat_p[path], jnp.where(is_hot, 0, packed_ids - h),
-                        MODEL_AXIS, capacity=cap, out_cols=oc)
-                    raw = jnp.where(is_hot[:, None], hot_vec, cold_vec)
+                    from pytorchrec_tpu.training.sharded_sparse_trainer \
+                        import hot_cold_fragment_lookup
+
+                    raw, _ = hot_cold_fragment_lookup(
+                        flat_p, path, ids, layout, hot_perms[path], oc, cap)
                 elif grid:
                     raw = grid_lookup(flat_p[path], ids,
                                       (DATA_AXIS, MODEL_AXIS),

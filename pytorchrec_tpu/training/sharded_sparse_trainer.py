@@ -110,6 +110,31 @@ def resolve_hot_layouts(model, mesh, sample_batch, flat_params, hot_counts,
         out_layouts[path] = build_layout(counts, h, pad_cold_to_multiple=m)
 
 
+def hot_cold_fragment_lookup(flat_tree, path, ids, layout, perm, out_cols,
+                             capacity, stop_grad=False):
+    """Resolve ``ids`` against a hot/cold fragment pair: hot ids gather
+    the replicated fragment locally (zero exchange), cold ids ride the
+    all-to-all. Returns ``(raw_rows, (packed_ids, is_hot))`` — the aux
+    feeds the fragment backward. Shared by the embedding and RL sharded
+    trainers' train AND eval paths (one sentinel/clipping semantics)."""
+    h = layout.hot_rows
+    packed_ids = perm[ids]
+    is_hot = packed_ids < h
+    hot = flat_tree["hot_tables/" + path]
+    cold = flat_tree[path]
+    if stop_grad:
+        hot = jax.lax.stop_gradient(hot)
+        cold = jax.lax.stop_gradient(cold)
+    hot_vec = hot[jnp.clip(packed_ids, 0, h - 1)]
+    if out_cols is not None:
+        hot_vec = hot_vec[:, :out_cols]
+    cold_ids = jnp.where(is_hot, 0, packed_ids - h)
+    cold_vec = all_to_all_lookup(cold, cold_ids, MODEL_AXIS,
+                                 capacity=capacity, out_cols=out_cols)
+    return (jnp.where(is_hot[:, None], hot_vec, cold_vec),
+            (packed_ids, is_hot))
+
+
 def split_hot_cold(flat, moments, layouts, packed_tables, table_optimizer):
     """Replace each hot/cold table leaf [V, E] with its cold fragment
     (row-sharded) and add the replicated hot fragment under
@@ -464,20 +489,11 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                 if layout is not None:
                     # hot ids resolve from the replicated fragment (no
                     # exchange); only the cold tail rides the all-to-all
-                    h = layout.hot_rows
-                    packed = hot_perms[path][ids]
-                    is_hot = packed < h
-                    hot = jax.lax.stop_gradient(
-                        flat_params["hot_tables/" + path])
-                    hot_vec = hot[jnp.clip(packed, 0, h - 1)]
-                    if oc is not None:  # fast-width gather, slice to wire cols
-                        hot_vec = hot_vec[:, :oc]
-                    cold_ids = jnp.where(is_hot, 0, packed - h)
-                    cold_vec = all_to_all_lookup(shard, cold_ids, MODEL_AXIS,
-                                                 capacity=cap, out_cols=oc)
-                    rows_in[name] = _model_rows(path, jnp.where(
-                        is_hot[:, None], hot_vec, cold_vec))
-                    hot_aux[name] = (packed, is_hot)
+                    raw, aux = hot_cold_fragment_lookup(
+                        flat_params, path, ids, layout, hot_perms[path],
+                        oc, cap, stop_grad=True)
+                    rows_in[name] = _model_rows(path, raw)
+                    hot_aux[name] = aux
                 elif grid and self.two_hop:
                     # forward twin of the 2-hop backward: request dedup
                     # inside the fast group, one DCN hop per direction
@@ -841,18 +857,9 @@ class ShardedSparseEmbeddingTrainer(SparseEmbeddingTrainer):
                     rows = all_to_all_lookup(flat[path], ids, MODEL_AXIS,
                                              capacity=cap, out_cols=out_cols)
                 else:
-                    h = layout.hot_rows
-                    packed = hot_perms[path][ids]
-                    is_hot = packed < h
-                    hot_vec = flat["hot_tables/" + path][
-                        jnp.clip(packed, 0, h - 1)]
-                    if out_cols is not None:
-                        hot_vec = hot_vec[:, :out_cols]
-                    cold_ids = jnp.where(is_hot, 0, packed - h)
-                    cold_vec = all_to_all_lookup(
-                        flat[path], cold_ids, MODEL_AXIS, capacity=cap,
-                        out_cols=out_cols)
-                    rows = jnp.where(is_hot[:, None], hot_vec, cold_vec)
+                    rows, _ = hot_cold_fragment_lookup(
+                        flat, path, ids, layout, hot_perms[path],
+                        out_cols, cap)
                 patched[spec["rows_key"]] = _model_rows(path, rows)
             # full-shape dummies for eagerly-declared quantized leaves
             # (fragmented per-shard views fail flax's shape check; the

@@ -163,6 +163,7 @@ def main():
                     default=os.environ.get("HOST_BENCH_DIR",
                                            "/tmp/host_pipeline_shards"))
     args = ap.parse_args()
+    assert args.batches > 3, "--batches must exceed the 3-batch warmup"
 
     paths = make_shards(args.root, args.rows, args.shards)
     mapper = build_mapper(paths)

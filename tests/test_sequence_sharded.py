@@ -137,7 +137,10 @@ def _zipf_hot_counts(model_name, reader):
     for name, spec in model.sharded_table_specs(batch).items():
         v = int(np.asarray(spec["ids"]).max()) + 1
         # deterministic Zipf-like mass over a shuffled id order
-        rng = np.random.default_rng(hash(name) % 2**31)
+        # (crc32, not hash(): PYTHONHASHSEED randomizes hash() per run)
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32(name.encode()))
         mass = (1.0 / np.arange(1, v + 1) ** 1.1)
         counts[name] = rng.permutation((mass * 1e4).astype(np.int64) + 1)
     return counts

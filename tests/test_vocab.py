@@ -249,9 +249,22 @@ def test_direct_map_lookup_matches_fallback(tmp_path):
     queries = np.concatenate([
         rng.integers(0, 5_000, size=10_000),      # mixed hit/tail
         rng.integers(5_000, 10_000_000, size=500),  # out of baked range
+        rng.integers(-1_000, 0, size=64),          # negative raw ids
         np.zeros(16, np.int64),                    # pad
     ])
     np.testing.assert_array_equal(fast.lookup(queries), slow.lookup(queries))
+
+    # NEGATIVE ADMITTED ids (legal raw ids, e.g. signed int64 hashes):
+    # the bake must refuse (direct[negative] would wrap and corrupt the
+    # table — code-review r5 finding) and the fallback must serve them
+    neg = FrequencyVocab(num_oov_buckets=7)
+    neg.update(np.array([-5, -5, -5, 7, 7, 7, 3, 3, 3, 9], np.int64))
+    neg.build(min_count=2.0)
+    assert neg._direct is None
+    slots = neg.lookup(np.array([-5, 7, 3, 9, 0], np.int64))
+    admitted = set(np.asarray(slots[:3]).tolist())
+    assert len(admitted) == 3 and min(admitted) > neg.num_oov_buckets
+    assert int(slots[4]) == 0
     # save/load rebuilds the direct table and stays identical
     p = os.path.join(tmp_path, "v.npz")
     fast.save(p)
