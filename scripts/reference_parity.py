@@ -326,6 +326,39 @@ def main():
         print(f"[{model_name}] {a} mean diff {diff:.4f} vs seed spread {spread:.4f} "
               f"-> {'PARITY' if diff <= max(2 * spread, 0.01) else 'DIVERGENT'}",
               flush=True)
+        _trajectory_verdict(model_name, ours, theirs)
+
+
+def _trajectory_verdict(model_name, ours, theirs):
+    """FUTURE #7: per-epoch dev-metric TRAJECTORY parity, not just the end
+    point — both stacks' seed-mean dev curves must stay inside each other's
+    per-epoch seed envelope, so a build that reaches the same final NDCG by
+    a different optimization path (e.g. a silently-wrong lr schedule that a
+    longer run would expose) still fails. Both runners return the per-epoch
+    dev trajectory as ``r[2]`` (the reference's from its own History,
+    torchrec/task/Task.py:241-248 dev_freq=1 protocol)."""
+    import numpy as np
+
+    t_ours = [r[2] for r in ours if len(r) > 2 and r[2]]
+    t_ref = [r[2] for r in theirs if len(r) > 2 and r[2]]
+    if not t_ours or not t_ref:
+        return
+    n = min(min(map(len, t_ours)), min(map(len, t_ref)))
+    a = np.asarray([t[:n] for t in t_ours], dtype=np.float64)  # [seeds, n]
+    b = np.asarray([t[:n] for t in t_ref], dtype=np.float64)
+    mean_a, mean_b = a.mean(axis=0), b.mean(axis=0)
+    per_epoch_diff = np.abs(mean_a - mean_b)
+    per_epoch_spread = np.maximum(a.std(axis=0), b.std(axis=0))
+    # same rule as the endpoint check, applied at EVERY epoch
+    tol = np.maximum(2 * per_epoch_spread, 0.01)
+    worst = int(np.argmax(per_epoch_diff - tol))
+    corr = float(np.corrcoef(mean_a, mean_b)[0, 1]) if n > 1 else 1.0
+    ok = bool(np.all(per_epoch_diff <= tol))
+    print(f"[{model_name}] trajectory ({n} epochs): max |mean diff| "
+          f"{per_epoch_diff.max():.4f} (epoch {worst}, tol there "
+          f"{tol[worst]:.4f}), curve corr {corr:.3f} -> "
+          f"{'TRAJECTORY PARITY' if ok else 'TRAJECTORY DIVERGENT'}",
+          flush=True)
 
 
 if __name__ == "__main__":
